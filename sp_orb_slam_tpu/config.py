@@ -1,0 +1,303 @@
+"""Configuration tree.
+
+Mirrors the reference's namespaced global config (reference:
+orb_slam2/include/orb_slam/config.h:11-142, src/config.cpp:7-137, YAML files
+orb_ros/cfg/euroc_mono.yaml / tsukuba.yaml) as immutable dataclasses instead
+of mutable globals.  Defaults below are the compiled defaults of
+src/config.cpp overridden where the shipped YAMLs pin tuned values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import yaml
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics of the (rectified) input stream.
+
+    Reference: config.h `namespace camera`; shipped YAMLs store *rectified*
+    intrinsics matching the loader's remap (cfg/euroc_mono.yaml:7-18).
+    """
+
+    width: int = 752
+    height: int = 480
+    fx: float = 356.1094055175781
+    fy: float = 418.0326843261719
+    cx: float = 362.7542616160936
+    cy: float = 250.18023338917374
+    # radial/tangential distortion of the *raw* stream (applied by the loader
+    # when rectifying; the SLAM core always sees undistorted pixels).
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    fps: float = 20.0
+    is_rgb: bool = True
+
+
+@dataclass(frozen=True)
+class DustConfig:
+    """Direct dustbin-alignment coarse tracker thresholds.
+
+    Reference: config.cpp `tracking::dust`, cfg/euroc_mono.yaml dust block.
+    """
+
+    c2_thresh: float = 81.0
+    th_ratio: float = 0.35
+    th_ninlier: int = 20
+    th_nmatch: int = 20
+    iters: int = 40          # LM iterations of the dust alignment (optimizer_dust.cpp:254)
+    huber_delta: float = 0.9  # robust kernel delta (optimizer_dust.cpp:227)
+    chi2_inlier: float = 0.9  # inlier gate on dust chi2 (optimizer_dust.cpp:262)
+
+
+@dataclass(frozen=True)
+class MotionConfig:
+    """Constant-velocity projection tracker thresholds (config.cpp tracking::motion)."""
+
+    th_window_size: int = 15
+    th_nmatch_proj: int = 20
+    th_nmatch_opt: int = 10
+    th_nn_ratio: float = 1.0
+
+
+@dataclass(frozen=True)
+class LocalMapTrackConfig:
+    """TrackLocalMap thresholds (config.cpp tracking::map)."""
+
+    th_view_cos: float = 0.5
+    th_window_size: int = 1
+    th_ninlier_high: int = 50
+    th_ninlier_low: int = 6
+    th_nn_ratio: float = 1.0
+    match_adaptive: bool = True
+
+
+@dataclass(frozen=True)
+class TrackingConfig:
+    """Reference: config.cpp `namespace tracking` + YAML tracking block."""
+
+    num_features: int = 800
+    scale_check: bool = False
+    create_kf_tracked_over_ref: float = 0.5
+    create_kf_tracked_over_curr: float = 0.4
+    create_kf_ref_ratio: float = 0.7
+    create_kf_nmatch: int = 5
+    dust: DustConfig = field(default_factory=DustConfig)
+    motion: MotionConfig = field(default_factory=MotionConfig)
+    map: LocalMapTrackConfig = field(default_factory=LocalMapTrackConfig)
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Reference: config.cpp `namespace mapping` + YAML mapping block."""
+
+    culling_kf: bool = True
+    kf_culling_cov_ratio: float = 0.95
+    kf_culling_num_obs: int = 5
+    triangulation_nn_ratio: float = 1.0
+    triangulation_num_kfs: int = 8
+    matching_method: int = 1  # 1 = ANN/dense (flann in ref), 2 = epipolar walk
+
+
+@dataclass(frozen=True)
+class ExtractorConfig:
+    """Learned frontend operating point.
+
+    Reference: SPExtractor ctor + nms call site (src/cv/sp_extractor.cpp:342-357,
+    502-503) and SPFrontend forward (conf threshold hardcoded 0.007 at :122).
+    """
+
+    cell_size: int = 8
+    conf_thresh: float = 0.007
+    nms_dist: int = 4
+    border: int = 8
+    nms_iters: int = 16        # fixed-point iterations of the TPU NMS
+    cov_window: int = 8        # flood-fill window radius for covariance
+    cov_iters: int = 16        # propagation iterations of the TPU flood fill
+    dtype: str = "float32"     # compute dtype of the conv net ("bfloat16" for speed)
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """VLAD loop closer knobs (reference: loop_closer_vlad.cpp)."""
+
+    use_loop: bool = False
+    min_score_floor: float = 0.2       # loop_closer_vlad.cpp:165
+    covisibility_consistency_th: int = 3
+    kf_gap: int = 10                   # skip if <10 KFs since last loop (:132)
+    global_desc_dim: int = 4096
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Capacity caps turning the dynamic reference structures into static shapes.
+
+    The reference already caps everything (150 dust points, 80 local KFs,
+    8 triangulation KFs); these are the padded array capacities.
+    """
+
+    max_keypoints: int = 896            # >= num_features+1, MXU-aligned
+    dust_points_cap: int = 256          # >= the 150-point dust gather target
+    local_points_cap: int = 4096        # local-map points in TrackLocalMap
+    local_kfs_cap: int = 80             # tracker.cpp:936
+    ba_kfs_cap: int = 32                # local-BA camera block cap
+    ba_points_cap: int = 4096           # local-BA point cap
+    ba_obs_cap: int = 16384             # local-BA observation cap
+    init_ransac_iters: int = 200        # initializer.cpp RANSAC mMaxIterations
+    streams: int = 1                    # batched parallel streams per chip
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level config (reference: `namespace common` + everything above)."""
+
+    seq: str = ""
+    data_path: str = ""
+    model_path: str = ""
+    dataset: str = "euroc"
+    output_path: str = "/tmp/sp_orb_slam_tpu"
+    use_loop: bool = False
+    verbose: bool = False
+    online: bool = False
+    camera: CameraConfig = field(default_factory=CameraConfig)
+    tracking: TrackingConfig = field(default_factory=TrackingConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    extractor: ExtractorConfig = field(default_factory=ExtractorConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    @property
+    def grid_h(self) -> int:
+        return self.camera.height // self.extractor.cell_size
+
+    @property
+    def grid_w(self) -> int:
+        return self.camera.width // self.extractor.cell_size
+
+
+def _merge_dataclass(dc: Any, overrides: Mapping[str, Any]) -> Any:
+    """Recursively apply a nested dict of overrides onto a frozen dataclass."""
+    kwargs = {}
+    names = {f.name: f for f in dataclasses.fields(dc)}
+    for key, value in overrides.items():
+        if key not in names:
+            raise KeyError(f"unknown config key {key!r} for {type(dc).__name__}")
+        current = getattr(dc, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, Mapping):
+            kwargs[key] = _merge_dataclass(current, value)
+        else:
+            kwargs[key] = type(current)(value) if current is not None else value
+    return dataclasses.replace(dc, **kwargs)
+
+
+# Translation of the reference YAML schema (cfg/*.yaml) into our tree.
+_REF_KEY_MAP = {
+    "use_loop": ("use_loop",),
+    "camera": ("camera",),
+    "tracking": ("tracking",),
+    "mapping": ("mapping",),
+}
+
+
+def _from_reference_yaml(raw: Mapping[str, Any]) -> dict:
+    """Convert a reference-format YAML dict (cfg/euroc_mono.yaml schema) into
+    our nested override dict."""
+    out: dict = {}
+    if "use_loop" in raw:
+        out["use_loop"] = bool(raw["use_loop"])
+    cam = raw.get("camera", {})
+    if cam:
+        c = {k: cam[k] for k in ("width", "height", "fx", "fy", "cx", "cy", "fps", "is_rgb") if k in cam}
+        dist = cam.get("distortion")
+        if dist:
+            for i, name in enumerate(["k1", "k2", "p1", "p2", "k3"][: len(dist)]):
+                c[name] = float(dist[i])
+        out["camera"] = c
+    tr = raw.get("tracking", {})
+    if tr:
+        t = {
+            k: tr[k]
+            for k in (
+                "num_features",
+                "scale_check",
+                "create_kf_tracked_over_ref",
+                "create_kf_tracked_over_curr",
+                "create_kf_ref_ratio",
+                "create_kf_nmatch",
+            )
+            if k in tr
+        }
+        for sub in ("dust", "motion", "map"):
+            if sub in tr:
+                t[sub] = dict(tr[sub])
+        out["tracking"] = t
+    mp = raw.get("mapping", {})
+    if mp:
+        out["mapping"] = {
+            k: mp[k]
+            for k in (
+                "culling_kf",
+                "kf_culling_cov_ratio",
+                "kf_culling_num_obs",
+                "triangulation_nn_ratio",
+                "triangulation_num_kfs",
+                "matching_method",
+            )
+            if k in mp
+        }
+    # our own extensions pass through verbatim
+    for key in ("extractor", "runtime", "loop", "seq", "data_path", "model_path",
+                "dataset", "output_path", "verbose", "online"):
+        if key in raw:
+            out[key] = raw[key]
+    return out
+
+
+def load_config(path: str | None = None, overrides: Mapping[str, Any] | None = None) -> Config:
+    """Build a Config from an (optional) YAML file + (optional) override dict.
+
+    Accepts both the reference YAML schema (orb_ros/cfg/*.yaml) and our
+    native nested schema.
+    """
+    cfg = Config()
+    if path is not None:
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        cfg = _merge_dataclass(cfg, _from_reference_yaml(raw))
+    if overrides:
+        cfg = _merge_dataclass(cfg, overrides)
+    return cfg
+
+
+def euroc_config(**kw) -> Config:
+    """The shipped EuRoC operating point (cfg/euroc_mono.yaml)."""
+    return _merge_dataclass(Config(), kw) if kw else Config()
+
+
+def tsukuba_config(**kw) -> Config:
+    """The shipped New Tsukuba operating point (cfg/tsukuba.yaml)."""
+    base = _merge_dataclass(
+        Config(),
+        {
+            "dataset": "tsukuba",
+            "camera": {"width": 640, "height": 480, "fx": 615.0, "fy": 615.0,
+                       "cx": 320.0, "cy": 240.0},
+            "tracking": {
+                "create_kf_nmatch": 25,
+                "dust": {"th_ratio": 0.3},
+                "motion": {"th_nmatch_proj": 10, "th_nmatch_opt": 5},
+            },
+        },
+    )
+    return _merge_dataclass(base, kw) if kw else base

@@ -1,0 +1,88 @@
+"""The full learned feature extractor: one jitted, batched TPU program.
+
+Equivalent capability to SPExtractor::operator() (src/cv/sp_extractor.cpp:
+361-514): frontend forward + score sort + grid NMS + occ_grid + covariance +
+descriptors, but fused into a single XLA program over a stream batch, with no
+host round-trips (the reference does 1 upload + 6 downloads per frame,
+sp_extractor.cpp:379,427-433; we return one device struct the SLAM core
+consumes, and only the scalar bookkeeping ever reaches the host).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sp_orb_slam_tpu.config import Config
+from sp_orb_slam_tpu.models import superpoint
+from sp_orb_slam_tpu.ops import covariance as cov_ops
+from sp_orb_slam_tpu.ops import nms as nms_ops
+
+
+class Features(NamedTuple):
+    """Per-frame learned features, fixed capacity K, batched over streams B."""
+
+    uv: jnp.ndarray          # (B, K, 2) float32 keypoint pixel coords
+    score: jnp.ndarray       # (B, K)
+    response: jnp.ndarray    # (B, K) heat_inv at the keypoint
+    valid: jnp.ndarray       # (B, K) bool
+    desc: jnp.ndarray        # (B, K, 256) unit descriptors
+    cov2: jnp.ndarray        # (B, K, 2)
+    cov2_inv: jnp.ndarray    # (B, K, 2)
+    occ_grid: jnp.ndarray    # (B, hc, wc) int32 kp index per cell, -1 empty
+    dense_dust: jnp.ndarray  # (B, hc, wc) dustbin probability (the dust map)
+    semi_dust: jnp.ndarray   # (B, hc, wc) dustbin logits
+    heat: jnp.ndarray        # (B, H, W) normalized heat ("coldness")
+    heat_inv: jnp.ndarray    # (B, H, W) 1 - heat
+    count: jnp.ndarray       # (B,) int32
+
+
+def extract(params, images: jnp.ndarray, *, num_features: int,
+            max_keypoints: int, conf_thresh: float = 0.007,
+            nms_dist: int = 4, border: int = 8, nms_iters: int = 16,
+            cov_radius: int = 8, cov_iters: int = 16,
+            compute_dtype=jnp.float32) -> Features:
+    """images: (B, H, W) float32 in [0, 1]."""
+    B, H, W = images.shape
+    out = superpoint.forward(params, images, conf_thresh=conf_thresh,
+                             compute_dtype=compute_dtype)
+
+    kps = jax.vmap(
+        partial(nms_ops.select_keypoints, num_features=num_features,
+                max_keypoints=max_keypoints, image_hw=(H, W), dist=nms_dist,
+                border=border, nms_iters=nms_iters)
+    )(out.score, out.cand_uv, out.cand_valid)
+
+    desc = jax.vmap(partial(superpoint.sample_descriptors, image_hw=(H, W)))(
+        out.coarse_desc, kps.uv)
+    desc = jnp.where(kps.valid[..., None], desc, 0.0)
+
+    cov2, cov2_inv, response = jax.vmap(
+        partial(cov_ops.keypoint_covariance, radius=cov_radius, iters=cov_iters)
+    )(out.heat_inv, kps.uv, kps.valid)
+
+    return Features(kps.uv, kps.score, response, kps.valid, desc, cov2,
+                    cov2_inv, kps.occ_grid, out.dense_dust, out.semi_dust,
+                    out.heat, out.heat_inv, kps.count)
+
+
+def make_extractor(cfg: Config, params):
+    """Build the jitted extractor closure for a config's operating point."""
+    ex = cfg.extractor
+    dtype = jnp.bfloat16 if ex.dtype == "bfloat16" else jnp.float32
+
+    @jax.jit
+    def run(images):
+        return extract(
+            params, images,
+            num_features=cfg.tracking.num_features,
+            max_keypoints=cfg.runtime.max_keypoints,
+            conf_thresh=ex.conf_thresh, nms_dist=ex.nms_dist,
+            border=ex.border, nms_iters=ex.nms_iters,
+            cov_radius=ex.cov_window, cov_iters=ex.cov_iters,
+            compute_dtype=dtype)
+
+    return run

@@ -1,0 +1,208 @@
+"""SuperPoint-style frontend as pure, batched JAX (NHWC, MXU-friendly).
+
+Capability parity with the reference SPFrontend (a libtorch module built in
+C++; src/cv/sp_extractor.cpp:23-158):
+
+- shared VGG encoder: 4 conv pairs (64, 64, 128, 128 ch), ReLU, 2x2 maxpool
+  after pairs 1-3 (sp_extractor.cpp:81-94);
+- detector head convPa(256, 3x3) + convPb(65, 1x1); 65 = 8x8 cell pixels + a
+  "dustbin" channel (:96-97);
+- descriptor head convDa(256, 3x3) + convDb(256, 1x1), L2-normalized over
+  channels (:99-103);
+- per-pixel softmax over the 65 channels; `semi_dust` = dustbin *logit* map,
+  `dense_dust` = dustbin *probability* map, `nodust` = 64 cell-pixel
+  probabilities (:105-108);
+- per-cell max -> candidate score + in-cell argmax -> pixel coords
+  (:112-119);
+- full-resolution log-probability "heat" map = pixel_shuffle(log(clamp(
+  nodust, 1e-3)), 8) (:128-131), then the host wrapper's [0,1] normalization
+  heat/heat_inv (:466-478);
+- bilinear descriptor sampling at keypoint coords with torch
+  grid_sampler_2d(align_corners=True) semantics + renormalize (:134-148).
+
+TPU-native design differences (behavior-preserving):
+- everything is batched over a leading stream dimension from day one;
+- candidates stay as dense per-cell grids (hc x wc) instead of
+  masked_select'ed ragged lists — static shapes for XLA; the confidence
+  mask (score >= conf_thresh, hardcoded 0.007 at :122) becomes a validity
+  mask consumed by the NMS stage;
+- descriptor sampling happens *after* NMS for the surviving keypoints only
+  (the sampled values are identical — sampling depends only on coords).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# encoder/head channel plan (sp_extractor.cpp:16-21)
+C1, C2, C3, C4, C5, D1 = 64, 64, 128, 128, 256, 256
+
+LAYERS = (
+    # name, in_ch, out_ch, ksize
+    ("conv1a", 1, C1, 3),
+    ("conv1b", C1, C1, 3),
+    ("conv2a", C1, C2, 3),
+    ("conv2b", C2, C2, 3),
+    ("conv3a", C2, C3, 3),
+    ("conv3b", C3, C3, 3),
+    ("conv4a", C3, C4, 3),
+    ("conv4b", C4, C4, 3),
+    ("convPa", C4, C5, 3),
+    ("convPb", C5, 65, 1),
+    ("convDa", C4, C5, 3),
+    ("convDb", C5, D1, 1),
+)
+
+
+class FrontendOut(NamedTuple):
+    """Dense frontend outputs for a batch of B images (H, W)."""
+
+    semi_dust: jnp.ndarray    # (B, hc, wc)  dustbin logits
+    dense_dust: jnp.ndarray   # (B, hc, wc)  dustbin probability
+    score: jnp.ndarray        # (B, hc, wc)  per-cell max probability
+    cand_uv: jnp.ndarray      # (B, hc, wc, 2) in-cell argmax pixel coords (u, v)
+    cand_valid: jnp.ndarray   # (B, hc, wc)  score >= conf_thresh
+    coarse_desc: jnp.ndarray  # (B, hc, wc, 256) L2-normalized coarse descriptors
+    heat: jnp.ndarray         # (B, H, W)  normalized "coldness" in [0, 1]
+    heat_inv: jnp.ndarray     # (B, H, W)  1 - heat (peaks at keypoints)
+
+
+def init_params(key: jax.Array, dtype=jnp.float32) -> Dict[str, Any]:
+    """Kaiming-uniform initialized parameters (torch Conv2d default init), as
+    a {name: {w: (kh, kw, cin, cout), b: (cout,)}} pytree."""
+    params = {}
+    for name, cin, cout, k in LAYERS:
+        key, k1, k2 = jax.random.split(key, 3)
+        fan_in = cin * k * k
+        bound_w = float(np.sqrt(6.0 / fan_in))  # kaiming_uniform(a=sqrt(5))
+        bound_b = float(1.0 / np.sqrt(fan_in))
+        params[name] = {
+            "w": jax.random.uniform(k1, (k, k, cin, cout), dtype, -bound_w, bound_w),
+            "b": jax.random.uniform(k2, (cout,), dtype, -bound_b, bound_b),
+        }
+    return params
+
+
+def _conv(x, p, *, relu=True):
+    w = p["w"].astype(x.dtype)
+    pad = (w.shape[0] - 1) // 2
+    # In float32 mode force full-precision MXU passes (the TPU default
+    # truncates operands to bf16); in bfloat16 mode the operands already are.
+    precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    y = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+    y = y + p["b"].astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+def _maxpool2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def forward(params: Dict[str, Any], images: jnp.ndarray, *,
+            conf_thresh: float = 0.007, cell: int = 8,
+            compute_dtype=jnp.float32) -> FrontendOut:
+    """Run the frontend on images (B, H, W) float32 in [0, 1].
+
+    Heavy conv stack runs in `compute_dtype` (bfloat16 keeps the MXU fed);
+    heads and probabilities are accumulated/finished in float32.
+    """
+    B, H, W = images.shape
+    hc, wc = H // cell, W // cell
+    x = images[..., None].astype(compute_dtype)
+
+    x = _conv(x, params["conv1a"])
+    x = _conv(x, params["conv1b"])
+    x = _maxpool2(x)
+    x = _conv(x, params["conv2a"])
+    x = _conv(x, params["conv2b"])
+    x = _maxpool2(x)
+    x = _conv(x, params["conv3a"])
+    x = _conv(x, params["conv3b"])
+    x = _maxpool2(x)
+    x = _conv(x, params["conv4a"])
+    x = _conv(x, params["conv4b"])
+
+    cPa = _conv(x, params["convPa"])
+    semi = _conv(cPa, params["convPb"], relu=False).astype(jnp.float32)  # (B, hc, wc, 65)
+
+    cDa = _conv(x, params["convDa"])
+    coarse = _conv(cDa, params["convDb"], relu=False).astype(jnp.float32)  # (B, hc, wc, 256)
+    coarse = coarse / jnp.linalg.norm(coarse, axis=-1, keepdims=True)
+
+    dense = jax.nn.softmax(semi, axis=-1)
+    semi_dust = semi[..., 64]
+    dense_dust = dense[..., 64]
+    nodust = dense[..., :64]  # channel c <-> in-cell offset (dy=c//8, dx=c%8)
+
+    score = jnp.max(nodust, axis=-1)
+    idx = jnp.argmax(nodust, axis=-1).astype(jnp.int32)
+    dy, dx = idx // cell, idx % cell
+    cell_v = jax.lax.broadcasted_iota(jnp.int32, (B, hc, wc), 1) * cell
+    cell_u = jax.lax.broadcasted_iota(jnp.int32, (B, hc, wc), 2) * cell
+    cand_uv = jnp.stack([cell_u + dx, cell_v + dy], axis=-1)
+    cand_valid = score >= conf_thresh
+
+    # full-res log-prob heat + the host wrapper's normalization
+    # (sp_extractor.cpp:128-131, 466-478): img = -log(clamp(p, 1e-3));
+    # heat = (img - min) / (max - min), heat_inv = 1 - heat.
+    heat_log = jnp.log(jnp.clip(nodust, 1e-3, None))
+    # pixel_shuffle(x, 8): out[v*8+dy, u*8+dx] = in[dy*8+dx] at cell (v, u)
+    heat_full = heat_log.reshape(B, hc, wc, cell, cell)
+    heat_full = jnp.transpose(heat_full, (0, 1, 3, 2, 4)).reshape(B, H, W)
+    img = -heat_full
+    mn = jnp.min(img, axis=(1, 2), keepdims=True)
+    mx = jnp.max(img, axis=(1, 2), keepdims=True)
+    heat = (img - mn) / (mx - mn)
+    heat_inv = 1.0 - heat
+
+    return FrontendOut(semi_dust, dense_dust, score, cand_uv, cand_valid,
+                       coarse, heat, heat_inv)
+
+
+def sample_descriptors(coarse: jnp.ndarray, uv: jnp.ndarray,
+                       image_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinearly sample L2-renormalized descriptors at pixel coords.
+
+    Reproduces torch.grid_sampler_2d(coarse, grid, bilinear, zeros,
+    align_corners=True) with grid = uv/(size/2) - 1 (sp_extractor.cpp:134-148):
+    the sampling location in the coarse (hc, wc) map is
+        x_c = u * (wc - 1) / W,   y_c = v * (hc - 1) / H.
+
+    coarse: (hc, wc, D) for a single image; uv: (K, 2) float pixel coords.
+    Returns (K, D) unit-norm descriptors.
+    """
+    H, W = image_hw
+    hc, wc, D = coarse.shape
+    gx = uv[:, 0] * (wc - 1) / W
+    gy = uv[:, 1] * (hc - 1) / H
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, wc - 1)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, hc - 1)
+    x1 = jnp.minimum(x0 + 1, wc - 1)
+    y1 = jnp.minimum(y0 + 1, hc - 1)
+    du = (gx - x0.astype(gx.dtype))[:, None]
+    dv = (gy - y0.astype(gy.dtype))[:, None]
+    d00 = coarse[y0, x0]
+    d01 = coarse[y0, x1]
+    d10 = coarse[y1, x0]
+    d11 = coarse[y1, x1]
+    desc = ((1 - du) * (1 - dv) * d00 + du * (1 - dv) * d01
+            + (1 - du) * dv * d10 + du * dv * d11)
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    return desc / jnp.maximum(norm, 1e-12)

@@ -1,0 +1,228 @@
+"""Descriptor matching as batched masked distance ops (MXU matmuls + top-k).
+
+Rebuilds the reference SPMatcher family (src/cv/sp_matcher.cpp) without
+FLANN kd-trees or per-candidate loops: with 256-d unit descriptors and <=1k
+keypoints, the full pairwise L2 matrix is one MXU matmul
+(||a-b|| = sqrt(2 - 2 a.b)), and every Search* variant is a different mask
+over that matrix.  The reference's FLANN paths (KeyFrame::buildIndexes,
+SearchForTriByFlann) were approximate 2-NN; ours are exact.
+
+Constants (sp_matcher.cpp:18-19): TH_HIGH = 0.7, TH_LOW = 0.3.
+
+Window semantics follow Frame::GetFeaturesInArea (frame.cpp:382-420): square
+window |du| < r and |dv| < r over the occupancy grid (one keypoint per 8x8
+cell), no scale filtering (scale_check is False in the shipped configs).
+
+Known behavioral deviations (documented, all order-independence fixes):
+- SearchForInitialization's sequential "steal" bookkeeping
+  (sp_matcher.cpp:697-725) becomes mutual-best resolution by minimum
+  distance (column argmin over row winners);
+- SearchForTri*'s last-writer-wins on duplicate train indices becomes
+  best-distance-wins.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TH_HIGH = 0.7
+TH_LOW = 0.3
+BIG = jnp.float32(1e9)
+
+
+def pairwise_dist(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+    """L2 distances between unit descriptors: (M, D) x (N, D) -> (M, N).
+
+    Matches cv::norm(a, b, NORM_L2) (sp_matcher.cpp:1636-1640) via
+    ||a-b||^2 = 2 - 2 a.b for unit vectors.
+    """
+    dots = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.sqrt(jnp.maximum(2.0 - 2.0 * dots, 0.0))
+
+
+def masked_best2(dist: jnp.ndarray, mask: jnp.ndarray):
+    """Per-row best & second-best over masked entries.
+
+    Returns (best_dist, best_idx, second_dist); masked-out rows get BIG.
+    """
+    d = jnp.where(mask, dist, BIG)
+    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
+    return -neg_top2[..., 0], idx_top2[..., 0], -neg_top2[..., 1]
+
+
+def resolve_mutual(best_idx: jnp.ndarray, best_dist: jnp.ndarray,
+                   row_ok: jnp.ndarray, num_cols: int):
+    """Resolve row->column claims so each column keeps its min-dist claimant.
+
+    Returns (match12 (M,) int32 col index or -1, match21 (N,) int32 row or -1).
+    Ties break toward the smaller row index (segment-min over fused keys).
+    """
+    M = best_idx.shape[0]
+    rows = jnp.arange(M, dtype=jnp.int32)
+    col = jnp.where(row_ok, best_idx, num_cols)
+    d = jnp.where(row_ok, best_dist, BIG)
+    # stage 1: min distance per column
+    min_d = jnp.full((num_cols + 1,), BIG).at[col].min(d)
+    cand = row_ok & (min_d[col] == d)
+    # stage 2: break exact-distance ties toward the smaller row index
+    min_r = jnp.full((num_cols + 1,), M, jnp.int32).at[
+        jnp.where(cand, col, num_cols)].min(jnp.where(cand, rows, M))
+    winner = cand & (min_r[col] == rows)
+    match12 = jnp.where(winner, best_idx, -1)
+    match21 = jnp.full((num_cols + 1,), -1, jnp.int32).at[
+        jnp.where(winner, col, num_cols)].set(
+        jnp.where(winner, rows, -1), mode="drop")[:num_cols]
+    return match12, match21
+
+
+def window_mask(uv_a: jnp.ndarray, valid_a: jnp.ndarray, uv_b: jnp.ndarray,
+                valid_b: jnp.ndarray, radius) -> jnp.ndarray:
+    """(M, N) mask: b within the square window of radius r around a
+    (GetFeaturesInArea semantics: strict |du| < r and |dv| < r)."""
+    du = jnp.abs(uv_a[:, None, 0] - uv_b[None, :, 0])
+    dv = jnp.abs(uv_a[:, None, 1] - uv_b[None, :, 1])
+    return (du < radius) & (dv < radius) & valid_a[:, None] & valid_b[None, :]
+
+
+class InitMatches(NamedTuple):
+    match12: jnp.ndarray  # (M,) index into frame-2 keypoints, -1 if none
+    n_matches: jnp.ndarray
+
+
+def search_for_initialization(desc1, uv1, valid1, prev_uv, desc2, uv2, valid2,
+                              *, window: int = 100, ratio: float = 0.9) -> InitMatches:
+    """SearchForInitialization (sp_matcher.cpp:666-734): windowed best+second
+    with ratio test at TH_LOW, mutual uniqueness."""
+    dist = pairwise_dist(desc1, desc2)
+    mask = window_mask(prev_uv, valid1, uv2, valid2, window)
+    best, idx, second = masked_best2(dist, mask)
+    row_ok = valid1 & (best <= TH_LOW) & (best < ratio * second)
+    match12, _ = resolve_mutual(idx, best, row_ok, desc2.shape[0])
+    return InitMatches(match12, jnp.sum((match12 >= 0).astype(jnp.int32)))
+
+
+def search_by_projection_points(mp_desc, mp_proj_uv, mp_view_cos, mp_valid,
+                                kp_desc, kp_uv, kp_valid, kp_free,
+                                *, th: float, match_adaptive: bool,
+                                c2_thresh: float, th_dist: float = TH_HIGH):
+    """SearchByProjection frame vs. local-map points (sp_matcher.cpp:344-432).
+
+    Window radius = RadiusByViewingCos (2.5 if viewCos > 0.998 else 4.0,
+    :434-438) scaled by `th`; only keypoints not already bound to an observed
+    map point are candidates (`kp_free`).  Accept best distance <= th_dist,
+    else the adaptive gate 1.2 * c2 / (c2 + duv) (:416-427).
+
+    Returns (match (P,) kp index or -1).  Duplicate keypoint claims resolve
+    by min distance (the reference processes points sequentially,
+    first-come-first-served; order-independent resolution here).
+    """
+    radius = jnp.where(mp_view_cos > 0.998, 2.5, 4.0) * th
+    du = kp_uv[None, :, 0] - mp_proj_uv[:, None, 0]
+    dv = kp_uv[None, :, 1] - mp_proj_uv[:, None, 1]
+    mask = ((jnp.abs(du) < radius[:, None]) & (jnp.abs(dv) < radius[:, None])
+            & mp_valid[:, None] & (kp_valid & kp_free)[None, :])
+    dist = pairwise_dist(mp_desc, kp_desc)
+    best, idx, _ = masked_best2(dist, mask)
+    duv = (jnp.take_along_axis(du, idx[:, None], 1)[:, 0] ** 2
+           + jnp.take_along_axis(dv, idx[:, None], 1)[:, 0] ** 2)
+    if match_adaptive:
+        fallback = best < (1.2 * c2_thresh / (c2_thresh + duv))
+    else:
+        fallback = best < 0.7
+    row_ok = mp_valid & (best < BIG) & ((best <= th_dist) | fallback)
+    match, _ = resolve_mutual(idx, best, row_ok, kp_desc.shape[0])
+    return match
+
+
+def search_by_projection_frame(mp_desc, mp_proj_uv, mp_depth_ok, mp_valid,
+                               kp_desc, kp_uv, kp_valid, kp_free,
+                               *, radius: float, bounds):
+    """SearchByProjection current vs. last frame (sp_matcher.cpp:1439-1543):
+    fixed radius window around the projection of each last-frame map point,
+    accept best <= TH_HIGH."""
+    in_img = ((mp_proj_uv[:, 0] >= bounds[0]) & (mp_proj_uv[:, 0] <= bounds[1])
+              & (mp_proj_uv[:, 1] >= bounds[2]) & (mp_proj_uv[:, 1] <= bounds[3]))
+    ok = mp_valid & mp_depth_ok & in_img
+    mask = window_mask(mp_proj_uv, ok, kp_uv, kp_valid & kp_free, radius)
+    dist = pairwise_dist(mp_desc, kp_desc)
+    best, idx, _ = masked_best2(dist, mask)
+    row_ok = ok & (best <= TH_HIGH)
+    match, _ = resolve_mutual(idx, best, row_ok, kp_desc.shape[0])
+    return match
+
+
+def search_by_brute_force(mp_desc, mp_valid, kp_desc, kp_valid):
+    """SearchByBruteForce KF->Frame (sp_matcher.cpp:1642-1674): BFMatcher
+    cross-check = mutual nearest neighbors, no distance threshold.
+
+    Returns (K,) index into mp rows for each keypoint, -1 if not mutual-best.
+    """
+    dist = pairwise_dist(mp_desc, kp_desc)  # (P, K)
+    d = jnp.where(mp_valid[:, None] & kp_valid[None, :], dist, BIG)
+    best_k_for_p = jnp.argmin(d, axis=1)
+    best_p_for_k = jnp.argmin(d, axis=0)
+    K = kp_desc.shape[0]
+    mutual = (best_k_for_p[best_p_for_k] == jnp.arange(K)) & kp_valid
+    finite = jnp.take_along_axis(d, best_p_for_k[None, :], axis=0)[0] < BIG
+    return jnp.where(mutual & finite, best_p_for_k, -1)
+
+
+def search_for_triangulation(desc1, valid1, free1, desc2, uv2, valid2, free2,
+                             epipole2_uv, F12, uv1, cov2_inv2,
+                             *, ratio: float = 0.7):
+    """SearchForTriByFlann (sp_matcher.cpp:183-262), exact instead of FLANN.
+
+    Matches the *free* (map-point-less) features of KF2 against those of KF1:
+    2-NN ratio test at `ratio` (hardcoded 0.7 in the reference), epipole
+    proximity rejection (dist^2 < 100 from the KF1-epipole in image 2,
+    :228-233), and the covariance-scaled epipolar line gate
+    CheckDistEpipolarLine (:441-469): d^2 < 3.84 / min(cov2_inv).
+
+    Returns match21: (N2,) index into KF1 features or -1.
+    """
+    dist = pairwise_dist(desc2, desc1)  # rows = KF2 queries (like the ref)
+    mask = (valid2 & free2)[:, None] & (valid1 & free1)[None, :]
+    best, idx1, second = masked_best2(dist, mask)
+    row_ok = (valid2 & free2) & (best < BIG) & (best < ratio * second)
+
+    # epipole proximity (scale factor is 1 with the single-level SP pyramid)
+    de = uv2 - epipole2_uv[None, :]
+    row_ok &= jnp.sum(de * de, axis=-1) >= 100.0
+
+    # epipolar line of kp1 (the matched one) in image 2
+    p1 = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], axis=-1)  # (N1, 3)
+    lines = p1 @ F12  # a, b, c per KF1 feature (row-vector convention, :445-451)
+    line = lines[idx1]  # (N2, 3)
+    num = line[:, 0] * uv2[:, 0] + line[:, 1] * uv2[:, 1] + line[:, 2]
+    den = line[:, 0] ** 2 + line[:, 1] ** 2
+    dsqr = num * num / jnp.maximum(den, 1e-12)
+    factor = 1.0 / jnp.maximum(jnp.min(cov2_inv2, axis=-1), 1e-12)
+    row_ok &= (den > 0) & (dsqr < 3.84 * factor)
+
+    # unique per idx1: best-distance wins
+    match21, _ = resolve_mutual(idx1, best, row_ok, desc1.shape[0])
+    return match21
+
+
+def fuse_candidates(mp_desc, mp_proj_uv, mp_valid, kp_desc, kp_uv, kp_valid,
+                    cov2_inv, *, radius: float):
+    """TPU part of SPMatcher::Fuse (sp_matcher.cpp:965-1104): per map point,
+    the best keypoint within `radius` passing the chi^2 reprojection gate
+    (e2 <= 5.99 with unit sigma in the single-level pyramid) and TH_LOW.
+
+    Returns (best_idx (P,) or -1, best_dist (P,)); the host applies the
+    replace-vs-add-observation graph surgery.
+    """
+    du = kp_uv[None, :, 0] - mp_proj_uv[:, None, 0]
+    dv = kp_uv[None, :, 1] - mp_proj_uv[:, None, 1]
+    e2 = du * du + dv * dv
+    mask = ((jnp.abs(du) < radius) & (jnp.abs(dv) < radius)
+            & (e2 <= 5.99) & mp_valid[:, None] & kp_valid[None, :])
+    dist = pairwise_dist(mp_desc, kp_desc)
+    best, idx, _ = masked_best2(dist, mask)
+    ok = mp_valid & (best <= TH_LOW)
+    return jnp.where(ok, idx, -1), best

@@ -1,0 +1,196 @@
+"""Grid NMS + occupancy-grid construction, reformulated for TPU.
+
+Reference semantics (src/cv/sp_extractor.cpp:161-250, call site :489-503):
+
+1. candidates = per-8x8-cell argmax pixels with score >= 0.007 (from the
+   frontend), sorted by score descending;
+2. greedy NMS in score order with a square +-4 px suppression window; stops
+   after `num_features`+1 survivors (the loop breaks when the counter
+   *exceeds* num_features, :210-213);
+3. survivors are re-emitted in raster (row-major pixel) order, dropping any
+   within `border`=8 px of the image edge; the emission order defines the
+   final keypoint indices;
+4. `occ_grid` (hc x wc, int) stores the final keypoint index per 8x8 cell
+   (-1 when empty).  Because candidates are per-cell argmaxes, each cell has
+   at most one survivor, so index collisions cannot occur.
+
+TPU reformulation: candidates never leave their dense (hc, wc) grid.  Greedy
+NMS is computed as an iterative commit/reject fixed point over the 3x3 cell
+neighborhood (the +-4 px window can only conflict with the 8 adjacent cells),
+which converges to exactly the sequential greedy result once every
+suppression chain is resolved; chains are short in practice and
+`nms_iters` bounds the work with static shapes.  The raster re-emission is an
+exclusive cumsum + scatter.  Everything is vmappable over a stream batch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint set for one image (capacity K)."""
+
+    uv: jnp.ndarray        # (K, 2) float32 pixel coords (raster-order emission)
+    score: jnp.ndarray     # (K,)  frontend cell score
+    valid: jnp.ndarray     # (K,)  bool
+    cell: jnp.ndarray      # (K,)  flat cell index (v_c * wc + u_c), -1 invalid
+    occ_grid: jnp.ndarray  # (hc, wc) int32 keypoint index per cell, -1 empty
+    count: jnp.ndarray     # () int32 number of valid keypoints
+
+
+def _neighbor_shifts():
+    return [(dv, du) for dv in (-1, 0, 1) for du in (-1, 0, 1) if (dv, du) != (0, 0)]
+
+
+def _shift2d(x: jnp.ndarray, dv: int, du: int, fill):
+    """Shift a 2D map so out[r, c] = x[r + dv, c + du], padding with `fill`."""
+    out = jnp.roll(x, shift=(-dv, -du), axis=(0, 1))
+    h, w = x.shape
+    if dv == 1:
+        out = out.at[h - 1, :].set(fill)
+    elif dv == -1:
+        out = out.at[0, :].set(fill)
+    if du == 1:
+        out = out.at[:, w - 1].set(fill)
+    elif du == -1:
+        out = out.at[:, 0].set(fill)
+    return out
+
+
+def greedy_grid_nms(score: jnp.ndarray, cand_uv: jnp.ndarray,
+                    cand_valid: jnp.ndarray, *, dist: int = 4,
+                    iters: int = 16) -> jnp.ndarray:
+    """Exact greedy score-order NMS over per-cell candidates.
+
+    score: (hc, wc); cand_uv: (hc, wc, 2) int pixel coords; cand_valid: bool.
+    Returns the survivor mask (hc, wc).
+
+    Priority = score desc, ties broken by flat cell index asc (matching the
+    reference's sort-then-scan which resolves ties by sort position).
+    """
+    hc, wc = score.shape
+    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0) * wc
+                + jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1))
+    # priority key: larger = earlier in greedy order
+    # (score, -flat_idx) lexicographic via a fused float key is unsafe;
+    # compare explicitly instead.
+    u = cand_uv[..., 0]
+    v = cand_uv[..., 1]
+
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def higher_priority(s_n, i_n, s_c, i_c):
+        return (s_n > s_c) | ((s_n == s_c) & (i_n < i_c))
+
+    def body(_, state):
+        kept, rejected = state
+        undecided = cand_valid & ~kept & ~rejected
+        all_hp_rejected = jnp.ones_like(kept)
+        any_kept_conflict = jnp.zeros_like(kept)
+        for dv, du in _neighbor_shifts():
+            n_valid = _shift2d(cand_valid, dv, du, False)
+            n_kept = _shift2d(kept, dv, du, False)
+            n_rej = _shift2d(rejected, dv, du, False)
+            n_s = _shift2d(score, dv, du, neg_inf)
+            n_i = _shift2d(flat_idx, dv, du, jnp.int32(-1))
+            n_u = _shift2d(u, dv, du, jnp.int32(10 ** 6))
+            n_v = _shift2d(v, dv, du, jnp.int32(10 ** 6))
+            conflict = (jnp.abs(n_u - u) <= dist) & (jnp.abs(n_v - v) <= dist) & n_valid
+            hp = higher_priority(n_s, n_i, score, flat_idx)
+            # i may commit only when every conflicting higher-priority
+            # neighbor is already rejected
+            all_hp_rejected &= ~(conflict & hp & ~n_rej)
+            any_kept_conflict |= conflict & n_kept
+        kept = kept | (undecided & all_hp_rejected)
+        rejected = rejected | (undecided & any_kept_conflict)
+        return kept, rejected
+
+    kept0 = jnp.zeros_like(cand_valid)
+    rejected0 = jnp.zeros_like(cand_valid)
+    kept, _ = jax.lax.fori_loop(0, iters, body, (kept0, rejected0))
+    return kept
+
+
+def select_keypoints(score: jnp.ndarray, cand_uv: jnp.ndarray,
+                     cand_valid: jnp.ndarray, *, num_features: int,
+                     max_keypoints: int, image_hw: tuple[int, int],
+                     dist: int = 4, border: int = 8,
+                     nms_iters: int = 16) -> Keypoints:
+    """Full reference keypoint selection for one image: NMS -> score cap ->
+    border filter -> raster-order emission + occ_grid."""
+    H, W = image_hw
+    hc, wc = score.shape
+    K = max_keypoints
+    alive = greedy_grid_nms(score, cand_uv, cand_valid, dist=dist, iters=nms_iters)
+
+    # score-order cap at num_features+1 (the reference loop breaks only after
+    # the counter exceeds num_features, sp_extractor.cpp:210-213); the cap is
+    # applied before the border filter, matching the two-pass structure.
+    cap = num_features + 1
+    flat_score = jnp.where(alive, score, -jnp.inf).reshape(-1)
+    # rank among survivors in score order (ties by flat index via stable sort)
+    order = jnp.argsort(-flat_score, stable=True)
+    rank = jnp.zeros_like(order).at[order].set(
+        jax.lax.broadcasted_iota(jnp.int32, (order.shape[0], 1), 0).squeeze(-1))
+    capped = alive & (rank.reshape(hc, wc) < cap)
+
+    u = cand_uv[..., 0]
+    v = cand_uv[..., 1]
+    in_border = (u >= border) & (u < W - border) & (v >= border) & (v < H - border)
+    sel = capped & in_border
+
+    # raster-order emission: candidates live one-per-cell, and raster order
+    # over pixels equals raster order over cells for per-cell argmax points
+    # only when each point stays inside its own cell (always true here).
+    sel_flat = sel.reshape(-1)
+    slots = jnp.cumsum(sel_flat.astype(jnp.int32)) - 1
+    n = jnp.sum(sel_flat.astype(jnp.int32))
+    occ_grid = jnp.where(sel, slots.reshape(hc, wc), -1).astype(jnp.int32)
+
+    target = jnp.where(sel_flat, jnp.minimum(slots, K - 1), K)  # K = dump slot
+    uv_out = jnp.zeros((K + 1, 2), jnp.float32).at[target].set(
+        cand_uv.reshape(-1, 2).astype(jnp.float32), mode="drop")[:K]
+    score_out = jnp.zeros((K + 1,), jnp.float32).at[target].set(
+        score.reshape(-1), mode="drop")[:K]
+    cell_out = jnp.full((K + 1,), -1, jnp.int32).at[target].set(
+        jax.lax.broadcasted_iota(jnp.int32, (hc * wc, 1), 0).squeeze(-1),
+        mode="drop")[:K]
+    valid_out = (jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0).squeeze(-1)
+                 < jnp.minimum(n, K))
+    return Keypoints(uv_out, score_out, valid_out, cell_out, occ_grid,
+                     jnp.minimum(n, K).astype(jnp.int32))
+
+
+def greedy_grid_nms_reference(score, cand_uv, cand_valid, *, dist=4):
+    """Sequential numpy implementation of the exact greedy NMS, used as the
+    golden model in tests (mirrors sp_extractor.cpp:194-214 without the cap)."""
+    import numpy as np
+
+    score = np.asarray(score)
+    cand_uv = np.asarray(cand_uv)
+    cand_valid = np.asarray(cand_valid)
+    hc, wc = score.shape
+    flat = [(-score[r, c], r * wc + c, r, c)
+            for r in range(hc) for c in range(wc) if cand_valid[r, c]]
+    flat.sort()
+    taken = np.zeros((hc, wc), bool)
+    suppressed = np.zeros((score.size,), bool)
+    grid = {}
+    for _, idx, r, c in flat:
+        if suppressed[idx]:
+            continue
+        taken[r, c] = True
+        u0, v0 = cand_uv[r, c]
+        for rr in range(max(0, r - 1), min(hc, r + 2)):
+            for cc in range(max(0, c - 1), min(wc, c + 2)):
+                if (rr, cc) == (r, c) or not cand_valid[rr, cc]:
+                    continue
+                u1, v1 = cand_uv[rr, cc]
+                if abs(int(u1) - int(u0)) <= dist and abs(int(v1) - int(v0)) <= dist:
+                    suppressed[rr * wc + cc] = True
+    return taken
