@@ -1,0 +1,1 @@
+from sp_orb_slam_tpu.eval import ate  # noqa: F401

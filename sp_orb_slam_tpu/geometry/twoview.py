@@ -144,10 +144,14 @@ def _score_f(F21, uv1, uv2, valid):
 def _check_rt(R, t, uv1, uv2, inliers, K, th2):
     """CheckRT (initializer.cpp:744-847), batched over matches."""
     fx, fy, cx, cy = K[0], K[1], K[2], K[3]
-    Km = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
-    P1 = jnp.concatenate([Km, jnp.zeros((3, 1))], axis=1)
-    P2 = Km @ jnp.concatenate([R, t[:, None]], axis=1)
-    X = triangulate(P1, P2, uv1, uv2)
+    # triangulate in normalized coordinates (float32 conditioning; the
+    # pixel-space DLT the reference uses here survives only thanks to
+    # double precision + the subsequent global BA)
+    xn1 = jnp.stack([(uv1[:, 0] - cx) / fx, (uv1[:, 1] - cy) / fy], -1)
+    xn2 = jnp.stack([(uv2[:, 0] - cx) / fx, (uv2[:, 1] - cy) / fy], -1)
+    P1 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P2 = jnp.concatenate([R, t[:, None]], axis=1)
+    X = triangulate(P1, P2, xn1, xn2)
 
     finite = jnp.all(jnp.isfinite(X), axis=-1)
     O2 = -R.T @ t

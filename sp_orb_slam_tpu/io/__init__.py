@@ -1,0 +1,1 @@
+from sp_orb_slam_tpu.io import dataset  # noqa: F401

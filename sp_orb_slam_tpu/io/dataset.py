@@ -1,0 +1,253 @@
+"""Dataset loaders.
+
+Rebuild of the reference IO layer (include/orb_slam/io/data_loader.h,
+src/io/data_loader.cc):
+
+- `EurocDataset`: cam0/data.csv timestamps + PNGs, pre-rectified with the
+  EuRoC radial-tangential model (data_loader.cc:470-489,517-527) — the
+  rectification itself runs on-device as part of frame preprocessing;
+- `TsukubaDataset`: NewTsukuba frame_%05d-style PNGs with synthetic 20 fps
+  timestamps (data_loader.cc:430-441);
+- `SyntheticDataset`: the equivalent of the reference's *Export loaders*
+  (DataloaderEuRoCExport / KITTIExport, data_loader.cc:87-179), which inject
+  precomputed features instead of running the extractor.  Here the injected
+  features come from a procedurally generated 3D scene + trajectory with
+  known ground truth — this is the deterministic end-to-end test rail (the
+  reference has no equivalent test; SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from sp_orb_slam_tpu.config import Config
+
+
+@dataclass
+class RawFrame:
+    """A loader output: either an image (extractor path) or injected
+    features (export path), mirroring DataFrame (data_loader.h:35-59)."""
+
+    timestamp: float
+    image: Optional[np.ndarray] = None        # (H, W) uint8
+    gt_pose: Optional[np.ndarray] = None      # (4, 4) Twc ground truth
+    injected: Optional[dict] = None           # precomputed feature dict
+    global_desc: Optional[np.ndarray] = None  # (D,) place-recognition desc
+
+
+class EurocDataset:
+    """ASL-format EuRoC: <root>/<seq>/mav0/cam0/data.csv + data/*.png."""
+
+    # hardcoded raw EuRoC cam0 calibration (data_loader.cc:470-489)
+    RAW_K = np.array([458.654, 457.296, 367.215, 248.375], np.float32)
+    DIST = np.array([-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0],
+                    np.float32)
+
+    def __init__(self, root: str, seq: str):
+        self.dir = os.path.join(root, seq, "mav0", "cam0")
+        if not os.path.isdir(self.dir):  # accept direct cam0 path too
+            self.dir = os.path.join(root, seq)
+        self.entries: List[Tuple[float, str]] = []
+        with open(os.path.join(self.dir, "data.csv")) as f:
+            for row in csv.reader(f):
+                if not row or row[0].startswith("#"):
+                    continue
+                self.entries.append((float(row[0]) * 1e-9,
+                                     os.path.join(self.dir, "data", row[1].strip())))
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __iter__(self) -> Iterator[RawFrame]:
+        from PIL import Image
+
+        for ts, path in self.entries:
+            img = np.asarray(Image.open(path).convert("L"))
+            yield RawFrame(timestamp=ts, image=img)
+
+
+class TsukubaDataset:
+    """NewTsukuba: <root>/left/frame_%d.png at synthetic 20 fps."""
+
+    def __init__(self, root: str, fps: float = 20.0, n_frames: int = 1724):
+        self.root = root
+        self.fps = fps
+        self.paths = []
+        for i in range(1, n_frames + 1):
+            p = os.path.join(root, "left", f"frame_{i}.png")
+            if os.path.exists(p):
+                self.paths.append(p)
+        if not self.paths:  # tolerate alternate zero-padded layout
+            import glob
+
+            self.paths = sorted(glob.glob(os.path.join(root, "left", "*.png")))
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __iter__(self) -> Iterator[RawFrame]:
+        from PIL import Image
+
+        for i, path in enumerate(self.paths):
+            img = np.asarray(Image.open(path).convert("L"))
+            yield RawFrame(timestamp=i / self.fps, image=img)
+
+
+# ---------------------------------------------------------------------------
+# synthetic injected-feature dataset (the end-to-end test rail)
+# ---------------------------------------------------------------------------
+
+
+def _smooth_trajectory(n: int, rng) -> np.ndarray:
+    """Twc poses: a constant-speed forward arc with steady lateral motion.
+
+    Deliberately non-degenerate: inter-frame baseline stays roughly constant
+    so every keyframe pair triangulates with healthy parallax.  (Degenerate
+    slow-downs/turn apexes amplify pose error by 1/parallax through
+    triangulation — a known monocular failure mode the 5-run protocol of
+    the reference tolerates; exercised separately, not in the happy-path
+    integration test.)"""
+    poses = []
+    for i in range(n):
+        t = i / max(n - 1, 1)
+        # dominantly lateral sweep (strong parallax for every pair) with
+        # mild forward drift and slow yaw
+        yaw = -0.3 * t
+        pos = np.array([4.0 * t,
+                        0.2 * np.sin(2 * np.pi * t * 1.5),
+                        0.8 * t])
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+    return np.stack(poses)
+
+
+class SyntheticDataset:
+    """Procedural scene with injected features + ground truth.
+
+    Equivalent role to the reference Export loaders (precomputed SP features
+    from disk, data_loader.cc:172-179), but generated: a wall of 3D points
+    with persistent random unit descriptors, projected per frame with
+    noise; the dust map is carved low at feature cells; covariance is
+    isotropic.  Gives a deterministic full-pipeline metric rail.
+    """
+
+    def __init__(self, cfg: Config, n_frames: int = 120, n_points: int = 4000,
+                 seed: int = 0, pixel_noise: float = 0.3,
+                 desc_noise: float = 0.01):
+        self.cfg = cfg
+        rng = np.random.default_rng(seed)
+        self.n_frames = n_frames
+        cam = cfg.camera
+        self.K = np.array([cam.fx, cam.fy, cam.cx, cam.cy], np.float32)
+        # points in a thick shell around the trajectory corridor
+        self.points = np.stack([
+            rng.uniform(-6, 6, n_points),
+            rng.uniform(-4, 4, n_points),
+            rng.uniform(2, 14, n_points)], -1).astype(np.float32)
+        d = rng.normal(0, 1, (n_points, 256)).astype(np.float32)
+        self.descs = d / np.linalg.norm(d, axis=1, keepdims=True)
+        # note: per-dim noise sigma n adds a vector of norm ~n*16 to a unit
+        # descriptor; keep it well under TH_LOW/sqrt(2) (matching.py)
+        self.poses = _smooth_trajectory(n_frames, rng)  # Twc
+        self.rng = rng
+        self.pixel_noise = pixel_noise
+        self.desc_noise = desc_noise
+
+    def __len__(self):
+        return self.n_frames
+
+    def frame(self, i: int) -> RawFrame:
+        cfg = self.cfg
+        cam = cfg.camera
+        cell = cfg.extractor.cell_size
+        hc, wc = cfg.grid_h, cfg.grid_w
+        K_cap = cfg.runtime.max_keypoints
+        rng = np.random.default_rng(1000 + i)
+
+        Twc = self.poses[i]
+        Tcw = np.linalg.inv(Twc).astype(np.float32)
+        pc = self.points @ Tcw[:3, :3].T + Tcw[:3, 3]
+        z = pc[:, 2]
+        vis = z > 0.5
+        u = self.K[0] * pc[:, 0] / np.where(vis, z, 1.0) + self.K[2]
+        v = self.K[1] * pc[:, 1] / np.where(vis, z, 1.0) + self.K[3]
+        u += rng.normal(0, self.pixel_noise, u.shape)
+        v += rng.normal(0, self.pixel_noise, v.shape)
+        b = cfg.extractor.border
+        vis &= (u >= b) & (u < cam.width - b) & (v >= b) & (v < cam.height - b)
+
+        # one keypoint per 8x8 cell (occ-grid invariant): keep nearest point
+        occ = np.full((hc, wc), -1, np.int32)
+        uv_list, desc_list, order = [], [], []
+        cand = np.nonzero(vis)[0]
+        cand = cand[np.argsort(z[cand])]  # near points win cells
+        for pi in cand:
+            cu, cv = int(u[pi]) // cell, int(v[pi]) // cell
+            if occ[cv, cu] >= 0:
+                continue
+            occ[cv, cu] = 1  # placeholder, re-numbered below
+            order.append((cv * wc + cu, pi))
+        order.sort()  # raster-order emission (extractor semantics)
+        order = order[:K_cap]
+
+        uv = np.zeros((K_cap, 2), np.float32)
+        desc = np.zeros((K_cap, 256), np.float32)
+        valid = np.zeros(K_cap, bool)
+        point_ids = np.full(K_cap, -1, np.int64)  # provenance for diagnostics
+        occ = np.full((hc, wc), -1, np.int32)
+        for k, (cidx, pi) in enumerate(order):
+            uv[k] = (u[pi], v[pi])
+            dd = self.descs[pi] + rng.normal(0, self.desc_noise, 256)
+            desc[k] = dd / np.linalg.norm(dd)
+            valid[k] = True
+            point_ids[k] = pi
+            occ[cidx // wc, cidx % wc] = k
+
+        # dust map: high (uninformative) background, low at feature cells
+        dust = np.full((hc, wc), 0.85, np.float32)
+        cells = occ >= 0
+        # smooth low basin around occupied cells
+        from scipy.ndimage import distance_transform_edt
+
+        dist = distance_transform_edt(~cells)
+        dust = np.clip(0.05 + 0.25 * dist, 0.05, 0.85).astype(np.float32)
+
+        cov2_inv = np.ones((K_cap, 2), np.float32)
+        score = np.where(valid, 0.5, 0.0).astype(np.float32)
+        return RawFrame(
+            timestamp=i / cam.fps,
+            gt_pose=Twc,
+            injected=dict(uv=uv, desc=desc, valid=valid, occ_grid=occ,
+                          dust=dust, cov2_inv=cov2_inv, score=score,
+                          count=int(valid.sum()), point_ids=point_ids),
+        )
+
+    def __iter__(self) -> Iterator[RawFrame]:
+        for i in range(self.n_frames):
+            yield self.frame(i)
+
+    def gt_trajectory(self):
+        """(timestamps, Twc poses) for the evaluator."""
+        ts = np.arange(self.n_frames) / self.cfg.camera.fps
+        return ts, self.poses
+
+
+def make_dataset(cfg: Config):
+    name = cfg.dataset.lower()
+    if name.startswith("euroc"):
+        return EurocDataset(cfg.data_path, cfg.seq)
+    if name.startswith("tsukuba"):
+        return TsukubaDataset(os.path.join(cfg.data_path, cfg.seq)
+                              if cfg.seq else cfg.data_path)
+    if name.startswith("synthetic"):
+        return SyntheticDataset(cfg)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")

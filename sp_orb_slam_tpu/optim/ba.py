@@ -159,7 +159,12 @@ def _lm_phase(poses, points, obs_cam, obs_pt, obs_uv, obs_w, K, active, fixed,
         # gain ratio over the stacked update
         denom = (jnp.sum(dc * (lam * dc + bc)) + jnp.sum(dp * (lam * dp + bp)))
         rho = (cost - cost_new) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-        accept = (cost_new < cost) & jnp.isfinite(cost_new)
+        # require a *relative* decrease: mono BA with an empty fixed-camera
+        # boundary has a free scale gauge, and in float32 a plain
+        # cost_new < cost accept lets numeric noise random-walk along the
+        # gauge direction, corrupting a converged map a little more on every
+        # call (g2o avoids this only by virtue of double precision)
+        accept = (cost_new < cost * (1.0 - 1e-5)) & jnp.isfinite(cost_new)
         lam, nu = lm.lm_update(accept, rho, lam, nu)
         poses = jnp.where(accept, new_poses, poses)
         points = jnp.where(accept, new_points, points)

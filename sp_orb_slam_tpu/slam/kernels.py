@@ -1,0 +1,492 @@
+"""Fused per-frame tracking programs (one XLA program, one packed readback).
+
+The reference interleaves matcher loops, g2o solves, and bookkeeping on the
+host (tracker.cpp, tracker_dust.cpp).  Over the TPU tunnel every
+device->host readback costs ~25 ms, so each tracking stage here is a single
+jitted program returning ONE flat float32 vector that the host unpacks:
+
+- dust_track: PoseOptimizationDust -> occ-grid 2x2 patch association ->
+  PoseOptimizationDustPost                (tracker_dust.cpp:22-228)
+- motion_track: SearchByProjection vs last frame at radius th, retried at
+  2*th when thin, + 4x10 PoseOptimization (tracker.cpp:480-559)
+- ref_track: brute-force mutual-NN vs the reference KF + PoseOptimization
+                                          (tracker.cpp:372-417)
+- local_map_track: frustum + SearchByProjection vs the local map +
+  PoseOptimization                        (tracker.cpp:561-832)
+- init_match + two-view bootstrap         (mono_tracker.cpp:38-115)
+- triangulate_pairs: per-neighbor-KF match + DLT + gates
+                                          (local_mapper.cpp:558-791)
+- fuse_into_kf: projection fuse candidates (sp_matcher.cpp:965-1104)
+
+Conflict resolution is min-distance (order-independent) where the reference
+is first-come sequential; documented in ops/matching.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sp_orb_slam_tpu.config import Config
+from sp_orb_slam_tpu.geometry import twoview
+from sp_orb_slam_tpu.geometry.triangulation import triangulate, triangulation_gates
+from sp_orb_slam_tpu.ops import matching
+from sp_orb_slam_tpu.optim import pose as pose_opt
+
+
+# ---------------------------------------------------------------------------
+# packed return helpers
+# ---------------------------------------------------------------------------
+
+class Layout:
+    """Named flat-f32 packing: one device->host transfer per kernel call."""
+
+    def __init__(self, specs: List[Tuple[str, tuple, type]]):
+        self.specs = specs
+        self.sizes = [int(np.prod(s)) if s else 1 for _, s, _ in specs]
+        self.total = sum(self.sizes)
+
+    def pack(self, **arrays) -> jnp.ndarray:
+        parts = []
+        for name, shape, _ in self.specs:
+            a = arrays[name]
+            parts.append(jnp.ravel(a).astype(jnp.float32))
+        return jnp.concatenate(parts)
+
+    def unpack(self, flat: np.ndarray) -> dict:
+        out = {}
+        off = 0
+        for (name, shape, dtype), size in zip(self.specs, self.sizes):
+            chunk = flat[off:off + size]
+            if shape:
+                chunk = chunk.reshape(shape)
+            else:
+                chunk = chunk[0]
+            if dtype is bool:
+                chunk = chunk > 0.5
+            elif dtype is int:
+                chunk = np.rint(chunk).astype(np.int64)
+            out[name] = chunk
+            off += size
+        return out
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies (pure functions of config-static shapes)
+# ---------------------------------------------------------------------------
+
+
+def _dust_association(proj_uv, in_view, mp_desc_track, occ_grid, kp_desc,
+                      kp_valid):
+    """Patch-wise association on the 1/8 occupancy grid
+    (tracker_dust.cpp:105-172): 2x2 cell window around floor(proj), best
+    descriptor distance < 0.75 against getDescTrack."""
+    hc, wc = occ_grid.shape
+    u0 = jnp.clip(jnp.floor(proj_uv[:, 0]).astype(jnp.int32), 0, wc - 2)
+    v0 = jnp.clip(jnp.floor(proj_uv[:, 1]).astype(jnp.int32), 0, hc - 2)
+    best_dist = jnp.full(u0.shape, 0.75, jnp.float32)
+    best_idx = jnp.full(u0.shape, -1, jnp.int32)
+    for du in (0, 1):
+        for dv in (0, 1):
+            idx = occ_grid[v0 + dv, u0 + du]
+            cand_ok = (idx >= 0) & in_view & kp_valid[jnp.clip(idx, 0, None)]
+            idx_safe = jnp.clip(idx, 0, kp_desc.shape[0] - 1)
+            d = jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.einsum(
+                "pd,pd->p", mp_desc_track,
+                kp_desc[idx_safe],
+                precision=jax.lax.Precision.HIGHEST), 0.0))
+            better = cand_ok & (d < best_dist)
+            best_dist = jnp.where(better, d, best_dist)
+            best_idx = jnp.where(better, idx, best_idx)
+    # each keypoint claimed once: min-distance wins (ref: first-come + erase)
+    mp2kp, kp2mp = matching.resolve_mutual(
+        jnp.clip(best_idx, 0, None), best_dist, best_idx >= 0,
+        kp_desc.shape[0])
+    return mp2kp, kp2mp
+
+
+def dust_track_body(Tcw_pred, mp_pos, mp_desc_track, mp_valid, dust,
+                    occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid, K_intr,
+                    *, dust_iters, huber_delta, chi2_inlier):
+    res = pose_opt.pose_optimization_dust(
+        Tcw_pred, mp_pos, mp_valid, dust, K_intr, iters=dust_iters,
+        huber_delta=huber_delta, chi2_inlier=chi2_inlier)
+    mp2kp, kp2mp = _dust_association(res.proj_uv, res.inlier, mp_desc_track,
+                                     occ_grid, kp_desc, kp_valid)
+    n_match = jnp.sum((mp2kp >= 0).astype(jnp.int32))
+
+    # post reprojection optimization over the associated pairs
+    kp_has = kp2mp >= 0
+    mp_of_kp = jnp.clip(kp2mp, 0, None)
+    Xw = mp_pos[mp_of_kp]
+    post = pose_opt.pose_optimization_post(
+        res.Tcw, Xw, kp_uv, kp_cov2_inv, kp_has, K_intr)
+    return dict(
+        Tcw=post.Tcw, Tcw_coarse=res.Tcw, kp2mp=kp2mp,
+        post_inlier=post.inlier, n_coarse=res.n_inlier, n_match=n_match,
+        n_opt=post.n_inlier, mp_in_view=res.inlier, mp_matched=mp2kp >= 0)
+
+
+def motion_track_body(Tcw_pred, mp_pos, mp_desc_track, mp_valid, kp_desc,
+                      kp_uv, kp_cov2_inv, kp_valid, K_intr, bounds, *,
+                      radius, n_retry_th):
+    R, t = Tcw_pred[:3, :3], Tcw_pred[:3, 3]
+    pc = mp_pos @ R.T + t
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    proj = jnp.stack([K_intr[0] * pc[:, 0] / zs + K_intr[2],
+                      K_intr[1] * pc[:, 1] / zs + K_intr[3]], axis=-1)
+    depth_ok = 1.0 / zs > 0
+
+    def run(rad):
+        return matching.search_by_projection_frame(
+            mp_desc_track, proj, depth_ok, mp_valid, kp_desc, kp_uv,
+            kp_valid, jnp.ones_like(kp_valid), radius=rad, bounds=bounds)
+
+    m1 = run(radius)
+    n1 = jnp.sum((m1 >= 0).astype(jnp.int32))
+    m2 = run(2.0 * radius)
+    match = jnp.where(n1 < n_retry_th, m2, m1)  # widen window when thin
+    # invert: per-keypoint map-point index
+    _, kp2mp = matching.resolve_mutual(
+        jnp.clip(match, 0, None),
+        jnp.zeros(match.shape, jnp.float32), match >= 0, kp_desc.shape[0])
+    kp_has = kp2mp >= 0
+    Xw = mp_pos[jnp.clip(kp2mp, 0, None)]
+    res = pose_opt.pose_optimization(Tcw_pred, Xw, kp_uv, kp_cov2_inv,
+                                     kp_has, K_intr)
+    n_match = jnp.sum(kp_has.astype(jnp.int32))
+    return dict(Tcw=res.Tcw, kp2mp=kp2mp, inlier=res.inlier,
+                n_match=n_match, n_inlier=res.n_inlier)
+
+
+def ref_track_body(Tcw0, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
+                   kp_cov2_inv, kp_valid, K_intr):
+    kp2mp = matching.search_by_brute_force(mp_desc, mp_valid, kp_desc,
+                                           kp_valid)
+    kp_has = kp2mp >= 0
+    Xw = mp_pos[jnp.clip(kp2mp, 0, None)]
+    res = pose_opt.pose_optimization(Tcw0, Xw, kp_uv, kp_cov2_inv, kp_has,
+                                     K_intr)
+    return dict(Tcw=res.Tcw, kp2mp=kp2mp, inlier=res.inlier,
+                n_match=jnp.sum(kp_has.astype(jnp.int32)),
+                n_inlier=res.n_inlier)
+
+
+def local_map_track_body(Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin,
+                         mp_dmax, mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
+                         kp_cov2_inv, kp_valid, K_intr, bounds, *,
+                         view_cos_th, window_th, match_adaptive, c2_thresh):
+    """SearchLocalPoints + PoseOptimization (tracker.cpp:561-832).
+
+    mp_skip: points already bound to the current frame (mnLastFrameSeen) —
+    frustum-checked points exclude them.  kp2mp0: bindings carried in from
+    the coarse stage (indices into the *local-map* arrays, -1 free).
+    """
+    R, t = Tcw0[:3, :3], Tcw0[:3, 3]
+    pc = mp_pos @ R.T + t
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    proj = jnp.stack([K_intr[0] * pc[:, 0] / zs + K_intr[2],
+                      K_intr[1] * pc[:, 1] / zs + K_intr[3]], axis=-1)
+    Ow = -R.T @ t
+    po = mp_pos - Ow
+    dist = jnp.linalg.norm(po, axis=-1)
+    view_cos = jnp.sum(po * mp_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    # NOTE: no scale-invariance distance gate — the reference explicitly
+    # comments it out of isInFrustum (frame.cpp:354-358): with the SP
+    # single-level pyramid min==max distance and the gate would unanchor
+    # every point after a ~20% depth change, leaving the pose fit to young
+    # (error-amplified) points — a runaway drift mechanism.
+    in_frustum = (
+        (z > 0)
+        & (proj[:, 0] >= bounds[0]) & (proj[:, 0] <= bounds[1])
+        & (proj[:, 1] >= bounds[2]) & (proj[:, 1] <= bounds[3])
+        & (view_cos >= view_cos_th))
+    to_match = mp_valid & ~mp_skip & in_frustum
+
+    kp_free = kp_valid & (kp2mp0 < 0)
+    match = matching.search_by_projection_points(
+        mp_desc_track, proj, view_cos, to_match, kp_desc, kp_uv, kp_valid,
+        kp_free, th=window_th, match_adaptive=match_adaptive,
+        c2_thresh=c2_thresh)
+    _, kp2mp_new = matching.resolve_mutual(
+        jnp.clip(match, 0, None), jnp.zeros(match.shape, jnp.float32),
+        match >= 0, kp_desc.shape[0])
+    kp2mp = jnp.where(kp2mp0 >= 0, kp2mp0, kp2mp_new)
+    kp_has = kp2mp >= 0
+    Xw = mp_pos[jnp.clip(kp2mp, 0, None)]
+    res = pose_opt.pose_optimization(Tcw0, Xw, kp_uv, kp_cov2_inv, kp_has,
+                                     K_intr)
+    return dict(Tcw=res.Tcw, kp2mp=kp2mp, inlier=res.inlier,
+                n_extra=jnp.sum((kp2mp_new >= 0).astype(jnp.int32)),
+                n_inlier=res.n_inlier, mp_visible=to_match)
+
+
+def init_body(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc, kp2_uv,
+              kp2_valid, K_intr, key, *, window, ratio, ransac_iters):
+    """SearchForInitialization (win 100, ratio 0.9; mono_tracker.cpp:79-84)
+    + Initializer::Initialize, fused."""
+    m = matching.search_for_initialization(
+        kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc, kp2_uv, kp2_valid,
+        window=window, ratio=ratio)
+    has = m.match12 >= 0
+    uv1 = kp1_uv
+    uv2 = kp2_uv[jnp.clip(m.match12, 0, None)]
+    res = twoview.initialize(uv1, uv2, has, K_intr, key, iters=ransac_iters)
+    return dict(ok=res.ok, used_h=res.used_h, R21=res.R21, t21=res.t21,
+                points=res.points, triangulated=res.triangulated & has,
+                match12=m.match12, n_matches=m.n_matches)
+
+
+def triangulate_body(Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
+                     kp2_uv, kp2_desc, kp2_cov2_inv, kp2_free, K_intr,
+                     *, nn_ratio):
+    """One neighbor-KF triangulation pass (local_mapper.cpp:615-791):
+    SearchForTri (exact 2-NN + epipole + epipolar gates) -> DLT -> gates.
+
+    KF1 = current KF, KF2 = neighbor.  Returns per-KF2-keypoint matches into
+    KF1 and new 3D points with their gate mask.
+    """
+    fx, fy, cx, cy = K_intr[0], K_intr[1], K_intr[2], K_intr[3]
+    Km = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1.0]])
+    Km = Km.at[0, 0].set(fx).at[1, 1].set(fy).at[0, 2].set(cx).at[1, 2].set(cy)
+
+    R1, t1 = Tcw1[:3, :3], Tcw1[:3, 3]
+    R2, t2 = Tcw2[:3, :3], Tcw2[:3, 3]
+    # fundamental F12 = K^-T [t12]x R12 K^-1 (ComputeF12, local_mapper.cpp)
+    R12 = R1 @ R2.T
+    t12 = -R12 @ t2 + t1
+    t12x = jnp.array([[0, -t12[2], t12[1]],
+                      [t12[2], 0, -t12[0]],
+                      [-t12[1], t12[0], 0.0]])
+    Kinv = jnp.linalg.inv(Km)
+    F12 = Kinv.T @ t12x @ R12 @ Kinv
+
+    # epipole of camera 1 in image 2
+    C1_in_2 = R2 @ (-R1.T @ t1) + t2
+    e2 = jnp.stack([fx * C1_in_2[0] / C1_in_2[2] + cx,
+                    fy * C1_in_2[1] / C1_in_2[2] + cy])
+
+    match21 = matching.search_for_triangulation(
+        kp1_desc, kp1_free, kp1_free, kp2_desc, kp2_uv, kp2_free, kp2_free,
+        e2, F12, kp1_uv, kp2_cov2_inv, ratio=nn_ratio)
+    has = match21 >= 0
+    idx1 = jnp.clip(match21, 0, None)
+    uv1 = kp1_uv[idx1]
+    # DLT in *normalized* camera coordinates like the reference
+    # (local_mapper.cpp:663-695): pixel-space projection matrices square the
+    # condition number and in float32 leak ~1 px of depth error into views
+    # with larger baselines.
+    def normalize(uv):
+        return jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], -1)
+
+    X = triangulate(Tcw1[:3, :], Tcw2[:3, :], normalize(uv1),
+                    normalize(kp2_uv))
+    gates = triangulation_gates(
+        X, Tcw1, Tcw2, K_intr, uv1, kp2_uv, kp1_cov2_inv[idx1], kp2_cov2_inv,
+        has)
+    return dict(match21=match21, points=X, good=gates.good,
+                n_good=jnp.sum(gates.good.astype(jnp.int32)))
+
+
+def fuse_body(Tcw, mp_pos, mp_desc, mp_normal, mp_dmin, mp_dmax, mp_valid,
+              kp_uv, kp_desc, kp_valid, K_intr, bounds, *, radius):
+    """Device part of SPMatcher::Fuse into one KF (sp_matcher.cpp:965-1104)."""
+    R, t = Tcw[:3, :3], Tcw[:3, 3]
+    pc = mp_pos @ R.T + t
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    proj = jnp.stack([K_intr[0] * pc[:, 0] / zs + K_intr[2],
+                      K_intr[1] * pc[:, 1] / zs + K_intr[3]], axis=-1)
+    Ow = -R.T @ t
+    po = mp_pos - Ow
+    dist3 = jnp.linalg.norm(po, axis=-1)
+    view_ok = jnp.sum(po * mp_normal, axis=-1) >= 0.5 * dist3
+    ok = (mp_valid & (z > 0)
+          & (proj[:, 0] >= bounds[0]) & (proj[:, 0] <= bounds[1])
+          & (proj[:, 1] >= bounds[2]) & (proj[:, 1] <= bounds[3])
+          & (dist3 >= 0.8 * mp_dmin) & (dist3 <= 1.2 * mp_dmax) & view_ok)
+    idx, best = matching.fuse_candidates(
+        mp_desc, proj, ok, kp_desc, kp_uv, kp_valid,
+        None, radius=radius)
+    return dict(best_idx=idx, best_dist=best)
+
+
+# ---------------------------------------------------------------------------
+# jitted wrappers with packed returns
+# ---------------------------------------------------------------------------
+
+
+class TrackingKernels:
+    """Config-bound jitted kernels with packed single-transfer returns."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        K = cfg.runtime.max_keypoints
+        P = cfg.runtime.dust_points_cap
+        L = cfg.runtime.local_points_cap
+        cam = cfg.camera
+        self.K_intr = jnp.array([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
+        self.bounds = jnp.array([0.0, cam.width - 1.0, 0.0, cam.height - 1.0])
+
+        self.dust_layout = Layout([
+            ("Tcw", (4, 4), float), ("Tcw_coarse", (4, 4), float),
+            ("kp2mp", (K,), int), ("post_inlier", (K,), bool),
+            ("n_coarse", (), int), ("n_match", (), int), ("n_opt", (), int),
+            ("mp_in_view", (P,), bool), ("mp_matched", (P,), bool)])
+        self.track_layout = Layout([
+            ("Tcw", (4, 4), float), ("kp2mp", (K,), int),
+            ("inlier", (K,), bool), ("n_match", (), int),
+            ("n_inlier", (), int)])
+        self.local_layout = Layout([
+            ("Tcw", (4, 4), float), ("kp2mp", (K,), int),
+            ("inlier", (K,), bool), ("n_extra", (), int),
+            ("n_inlier", (), int), ("mp_visible", (L,), bool)])
+
+        d = cfg.tracking.dust
+
+        @jax.jit
+        def dust_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, dust,
+                    occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid):
+            out = dust_track_body(
+                Tcw_pred, mp_pos, mp_desc_track, mp_valid, dust, occ_grid,
+                kp_desc, kp_uv, kp_cov2_inv, kp_valid, self.K_intr,
+                dust_iters=d.iters, huber_delta=d.huber_delta,
+                chi2_inlier=d.chi2_inlier)
+            return self.dust_layout.pack(**out)
+
+        @jax.jit
+        def motion_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, kp_desc,
+                      kp_uv, kp_cov2_inv, kp_valid):
+            out = motion_track_body(
+                Tcw_pred, mp_pos, mp_desc_track, mp_valid, kp_desc, kp_uv,
+                kp_cov2_inv, kp_valid, self.K_intr, self.bounds,
+                radius=float(cfg.tracking.motion.th_window_size),
+                n_retry_th=cfg.tracking.motion.th_nmatch_proj)
+            return self.track_layout.pack(**out)
+
+        @jax.jit
+        def ref_fn(Tcw0, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
+                   kp_cov2_inv, kp_valid):
+            out = ref_track_body(Tcw0, mp_pos, mp_desc, mp_valid, kp_desc,
+                                 kp_uv, kp_cov2_inv, kp_valid, self.K_intr)
+            return self.track_layout.pack(**out)
+
+        m = cfg.tracking.map
+
+        @jax.jit
+        def local_fn(Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin,
+                     mp_dmax, mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
+                     kp_cov2_inv, kp_valid):
+            out = local_map_track_body(
+                Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin, mp_dmax,
+                mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv, kp_cov2_inv,
+                kp_valid, self.K_intr, self.bounds,
+                view_cos_th=m.th_view_cos, window_th=float(m.th_window_size),
+                match_adaptive=m.match_adaptive,
+                c2_thresh=cfg.tracking.dust.c2_thresh)
+            return self.local_layout.pack(**out)
+
+        self.init_layout = Layout([
+            ("ok", (), bool), ("used_h", (), bool), ("R21", (3, 3), float),
+            ("t21", (3,), float), ("points", (K, 3), float),
+            ("triangulated", (K,), bool), ("match12", (K,), int),
+            ("n_matches", (), int)])
+
+        @jax.jit
+        def init_fn(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc, kp2_uv,
+                    kp2_valid, key):
+            out = init_body(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc,
+                            kp2_uv, kp2_valid, self.K_intr, key,
+                            window=100, ratio=0.9,
+                            ransac_iters=cfg.runtime.init_ransac_iters)
+            return self.init_layout.pack(**out)
+
+        self.tri_layout = Layout([
+            ("match21", (K,), int), ("points", (K, 3), float),
+            ("good", (K,), bool), ("n_good", (), int)])
+
+        @jax.jit
+        def tri_fn(Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
+                   kp2_uv, kp2_desc, kp2_cov2_inv, kp2_free):
+            out = triangulate_body(
+                Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
+                kp2_uv, kp2_desc, kp2_cov2_inv, kp2_free, self.K_intr,
+                nn_ratio=0.7)
+            return self.tri_layout.pack(**out)
+
+        self.fuse_layout = Layout([
+            ("best_idx", (L,), int), ("best_dist", (L,), float)])
+
+        @jax.jit
+        def fuse_fn(Tcw, mp_pos, mp_desc, mp_normal, mp_dmin, mp_dmax,
+                    mp_valid, kp_uv, kp_desc, kp_valid):
+            out = fuse_body(Tcw, mp_pos, mp_desc, mp_normal, mp_dmin,
+                            mp_dmax, mp_valid, kp_uv, kp_desc, kp_valid,
+                            self.K_intr, self.bounds, radius=3.0)
+            return self.fuse_layout.pack(**out)
+
+        self._dust = dust_fn
+        self._motion = motion_fn
+        self._ref = ref_fn
+        self._local = local_fn
+        self._init = init_fn
+        self._tri = tri_fn
+        self._fuse = fuse_fn
+
+        hc, wc = cfg.grid_h, cfg.grid_w
+        self.feat_layout = Layout([
+            ("uv", (K, 2), float), ("score", (K,), float),
+            ("response", (K,), float), ("valid", (K,), bool),
+            ("cov2_inv", (K, 2), float), ("occ_grid", (hc, wc), int),
+            ("count", (), int)])
+
+        @jax.jit
+        def feat_fetch_fn(uv, score, response, valid, cov2_inv, occ_grid,
+                          count):
+            return self.feat_layout.pack(
+                uv=uv, score=score, response=response, valid=valid,
+                cov2_inv=cov2_inv, occ_grid=occ_grid, count=count)
+
+        self._feat_fetch = feat_fetch_fn
+
+    def fetch_features_host(self, feats, b: int = 0) -> dict:
+        """One packed transfer of the per-frame host mirrors (the reference
+        copies six tensors to the CPU per frame, sp_extractor.cpp:427-433;
+        we copy one)."""
+        out = self.feat_layout.unpack(np.asarray(self._feat_fetch(
+            feats.uv[b], feats.score[b], feats.response[b], feats.valid[b],
+            feats.cov2_inv[b], feats.occ_grid[b], feats.count[b])))
+        out["uv"] = out["uv"].astype(np.float32)
+        out["score"] = out["score"].astype(np.float32)
+        out["response"] = out["response"].astype(np.float32)
+        out["cov2_inv"] = out["cov2_inv"].astype(np.float32)
+        out["occ_grid"] = out["occ_grid"].astype(np.int32)
+        return out
+
+    # host-facing: run + unpack (one transfer each)
+    def dust_track(self, *args):
+        return self.dust_layout.unpack(np.asarray(self._dust(*args)))
+
+    def motion_track(self, *args):
+        return self.track_layout.unpack(np.asarray(self._motion(*args)))
+
+    def ref_track(self, *args):
+        return self.track_layout.unpack(np.asarray(self._ref(*args)))
+
+    def local_map_track(self, *args):
+        return self.local_layout.unpack(np.asarray(self._local(*args)))
+
+    def init_two_view(self, *args):
+        return self.init_layout.unpack(np.asarray(self._init(*args)))
+
+    def triangulate_pair(self, *args):
+        return self.tri_layout.unpack(np.asarray(self._tri(*args)))
+
+    def fuse(self, *args):
+        return self.fuse_layout.unpack(np.asarray(self._fuse(*args)))

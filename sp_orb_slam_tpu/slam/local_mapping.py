@@ -1,0 +1,411 @@
+"""Local mapping backend (per-keyframe map maintenance).
+
+Host-side rebuild of `LocalMapping` (src/mapping/local_mapper.cpp): the
+pipeline per keyframe is ProcessNewKeyFrame -> MapPointCulling ->
+CreateNewMapPointsOverride -> SearchInNeighbors -> LocalBundleAdjustment ->
+KeyFrameCullingOverride (spinOnce, local_mapper.cpp:47-127).  Geometry and
+matching run in the fused device kernels; graph surgery stays host-side.
+
+BA problems are padded to a small set of fixed shapes so XLA compiles each
+program once (tunnel compiles cost minutes).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from sp_orb_slam_tpu.config import Config
+from sp_orb_slam_tpu.optim import ba as ba_mod
+from sp_orb_slam_tpu.slam.kernels import TrackingKernels
+from sp_orb_slam_tpu.slam.map import Map, KeyFrame
+
+
+def _assemble_ba(world: Map, kf_ids: List[int], fixed_ids: List[int],
+                 pids: List[int], caps):
+    """Pack a BA problem into fixed-capacity arrays."""
+    C, P, O = caps
+    all_kfs = list(kf_ids) + list(fixed_ids)
+    if len(all_kfs) > C:
+        raise ValueError(f"BA camera overflow: {len(all_kfs)} > {C}")
+    kf_index = {k: i for i, k in enumerate(all_kfs)}
+    poses = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    fixed = np.ones(C, bool)
+    for k, i in kf_index.items():
+        poses[i] = world.keyframes[k].Tcw
+        fixed[i] = (k in fixed_ids) or (k == world.kf_origin)
+    pids = pids[:P]
+    pt_index = {p: i for i, p in enumerate(pids)}
+    points = np.zeros((P, 3), np.float32)
+    pt_valid = np.zeros(P, bool)
+    for p, i in pt_index.items():
+        points[i] = world.pool.pos[p]
+        pt_valid[i] = True
+
+    obs_cam = np.zeros(O, np.int32)
+    obs_pt = np.zeros(O, np.int32)
+    obs_uv = np.zeros((O, 2), np.float32)
+    obs_w = np.ones((O, 2), np.float32)
+    obs_valid = np.zeros(O, bool)
+    obs_ref = []  # (kf_id, pid) per slot, for erasure write-back
+    o = 0
+    dropped = 0
+    for p, pi in pt_index.items():
+        mp = world.points[p]
+        for kf_id, idx in mp.obs.items():
+            ci = kf_index.get(kf_id)
+            if ci is None:
+                continue
+            if o >= O:
+                dropped += 1
+                continue
+            kf = world.keyframes[kf_id]
+            obs_cam[o] = ci
+            obs_pt[o] = pi
+            obs_uv[o] = kf.data.uv[idx]
+            obs_w[o] = kf.data.cov2_inv[idx]
+            obs_valid[o] = True
+            obs_ref.append((kf_id, p))
+            o += 1
+    return (poses, fixed, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
+            obs_valid, kf_index, pt_index, obs_ref, dropped)
+
+
+def _writeback_ba(world: Map, res, kf_index, pt_index, obs_ref, fixed):
+    poses = np.asarray(res.poses)
+    points = np.asarray(res.points)
+    for k, i in kf_index.items():
+        if not fixed[i]:
+            world.keyframes[k].set_pose(poses[i])
+    for p, i in pt_index.items():
+        mp = world.points.get(p)
+        if mp is not None and not mp.bad:
+            world.pool.pos[p] = points[i]
+            world.update_normal_and_depth(mp)
+    bad = np.asarray(res.bad_obs)
+    for o, (kf_id, p) in enumerate(obs_ref):
+        if bad[o]:
+            mp = world.points.get(p)
+            if mp is not None and not mp.bad:
+                world.erase_observation(mp, kf_id)
+
+
+def run_global_ba(world: Map, kernels: TrackingKernels, iters: int = 20,
+                  caps=(8, 2048, 4096)) -> None:
+    """GlobalBundleAdjustemnt (optimizer.cpp:42-229): all KFs + points,
+    single-phase robust Huber, unit information (single-level sigma)."""
+    kf_ids = [k for k, kf in world.keyframes.items() if not kf.bad]
+    pids = [p for p, mp in world.points.items() if not mp.bad]
+    (poses, fixed, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
+     obs_valid, kf_index, pt_index, obs_ref, dropped) = _assemble_ba(
+        world, kf_ids, [], pids, caps)
+    obs_w[:] = 1.0  # optimizer.cpp:131-132 uses pyramid sigma (= 1), not cov
+    res = ba_mod.bundle_adjust(
+        poses, fixed, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
+        obs_valid, kernels.K_intr, iters1=iters, two_phase=False, robust=True)
+    # plain BA does not erase observations (optimizer.cpp:42-229)
+    poses_np = np.asarray(res.poses)
+    points_np = np.asarray(res.points)
+    for k, i in kf_index.items():
+        if not fixed[i]:
+            world.keyframes[k].set_pose(poses_np[i])
+    for p, i in pt_index.items():
+        mp = world.points.get(p)
+        if mp is not None and not mp.bad:
+            world.pool.pos[p] = points_np[i]
+
+
+class LocalMapping:
+    def __init__(self, cfg: Config, world: Map, kernels: TrackingKernels):
+        self.cfg = cfg
+        self.map = world
+        self.k = kernels
+        self.queue: List[int] = []
+        self.recent_pids: List[int] = []
+        self.stopped = False
+        self.accepting = True
+        self.abort_ba = False
+        self.current_kf: Optional[KeyFrame] = None
+
+    # ------------------------------------------------------------------ API
+
+    def insert_keyframe(self, kf_id: int) -> None:
+        self.queue.append(kf_id)
+        self.abort_ba = True
+
+    def interrupt_ba(self) -> None:
+        self.abort_ba = True
+
+    def spin_once(self) -> None:
+        """local_mapper.cpp:47-127 (deterministic offline drive mode)."""
+        while self.queue:
+            kf_id = self.queue.pop(0)
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None or kf.bad:
+                continue
+            self.current_kf = kf
+            self.process_new_keyframe(kf)
+            self.map_point_culling(kf)
+            self.create_new_map_points(kf)
+            if not self.queue:
+                self.search_in_neighbors(kf)
+            self.abort_ba = False
+            if not self.queue and not self.stopped:
+                if self.map.n_keyframes() > 2:
+                    self.local_bundle_adjustment(kf)
+                if self.cfg.mapping.culling_kf:
+                    self.keyframe_culling(kf)
+
+    # ------------------------------------------------------------- pipeline
+
+    def process_new_keyframe(self, kf: KeyFrame) -> None:
+        """local_mapper.cpp:242-279."""
+        for i, pid in enumerate(kf.mp_ids):
+            if pid < 0:
+                continue
+            mp = self.map.get_point(int(pid))
+            if mp is None or mp.bad:
+                kf.mp_ids[i] = -1
+                continue
+            if kf.kf_id not in mp.obs:
+                self.map.add_observation(mp, kf.kf_id, i)
+                self.map.update_normal_and_depth(mp)
+                self.map.compute_distinctive_descriptor(mp)
+                self.map.update_desc_track(mp, kf.kf_id, i)
+            else:
+                self.recent_pids.append(mp.pid)
+        self.map.update_connections(kf)
+
+    def map_point_culling(self, kf: KeyFrame) -> None:
+        """local_mapper.cpp:281-310 (mono thresholds)."""
+        kept = []
+        for pid in self.recent_pids:
+            mp = self.map.points.get(pid)
+            if mp is None or mp.bad:
+                continue
+            if mp.found_ratio() < 0.25:
+                self.map.set_point_bad(mp)
+            elif kf.kf_id - mp.first_kf >= 2 and mp.n_obs <= 2:
+                self.map.set_point_bad(mp)
+            elif kf.kf_id - mp.first_kf >= 3:
+                pass  # graduated
+            else:
+                kept.append(pid)
+        self.recent_pids = kept
+
+    def create_new_map_points(self, kf: KeyFrame) -> None:
+        """CreateNewMapPointsOverride (local_mapper.cpp:558-814)."""
+        neighbors = kf.best_covisible(self.cfg.mapping.triangulation_num_kfs)
+        Ow1 = kf.Ow
+        for kid in neighbors:
+            kf2 = self.map.keyframes.get(kid)
+            if kf2 is None or kf2.bad:
+                continue
+            baseline = float(np.linalg.norm(kf2.Ow - Ow1))
+            median_depth = self._scene_median_depth(kf2)
+            if median_depth <= 0 or baseline / median_depth < 0.01:
+                continue
+            free1 = kf.data.valid & (kf.mp_ids < 0)
+            free2 = kf2.data.valid & (kf2.mp_ids < 0)
+            out = self.k.triangulate_pair(
+                kf.Tcw, kf2.Tcw, kf.data.uv, kf.data.desc_dev,
+                kf.data.cov2_inv, free1, kf2.data.uv, kf2.data.desc_dev,
+                kf2.data.cov2_inv, free2)
+            good = out["good"]
+            match21 = out["match21"]
+            for j in np.nonzero(good)[0]:
+                i = int(match21[j])
+                if kf.mp_ids[i] >= 0 or kf2.mp_ids[j] >= 0:
+                    continue  # raced within this pass
+                mp = self.map.create_point(out["points"][j], kf.kf_id)
+                mp.first_kf = kf.kf_id
+                self.map.add_observation(mp, kf.kf_id, i)
+                self.map.add_observation(mp, kf2.kf_id, int(j))
+                self.map.compute_distinctive_descriptor(mp)
+                self.map.update_desc_track(mp, kf.kf_id, i)
+                self.map.update_normal_and_depth(mp)
+                self.recent_pids.append(mp.pid)
+
+    def _scene_median_depth(self, kf: KeyFrame) -> float:
+        zs = []
+        R2 = kf.Tcw[2, :3]
+        t2 = kf.Tcw[2, 3]
+        for pid in kf.mp_ids:
+            if pid >= 0:
+                zs.append(float(R2 @ self.map.pool.pos[pid] + t2))
+        if not zs:
+            return -1.0
+        zs.sort()
+        return zs[(len(zs) - 1) // 2]
+
+    def search_in_neighbors(self, kf: KeyFrame) -> None:
+        """SearchInNeighbors (local_mapper.cpp:816-904)."""
+        targets = []
+        seen = set()
+        for kid in kf.best_covisible(20):
+            nkf = self.map.keyframes.get(kid)
+            if nkf is None or nkf.bad or kid in seen:
+                continue
+            targets.append(kid)
+            seen.add(kid)
+            for kid2 in nkf.best_covisible(5):
+                n2 = self.map.keyframes.get(kid2)
+                if n2 is None or n2.bad or kid2 in seen or kid2 == kf.kf_id:
+                    continue
+                targets.append(kid2)
+                seen.add(kid2)
+
+        cur_pids = [int(p) for p in kf.mp_ids if p >= 0]
+        # current KF's points into each target
+        for kid in targets:
+            self._fuse(self.map.keyframes[kid], cur_pids)
+        # target KFs' points into the current KF
+        cand = []
+        cseen = set()
+        for kid in targets:
+            for pid in self.map.keyframes[kid].mp_ids:
+                if pid >= 0 and pid not in cseen:
+                    cseen.add(int(pid))
+                    cand.append(int(pid))
+        self._fuse(kf, cand)
+
+        for pid in kf.mp_ids:
+            if pid >= 0:
+                mp = self.map.get_point(int(pid))
+                if mp is not None and not mp.bad:
+                    self.map.compute_distinctive_descriptor(mp)
+                    self.map.update_normal_and_depth(mp)
+        self.map.update_connections(kf)
+
+    def _fuse(self, kf: KeyFrame, pids: List[int]) -> None:
+        """Host surgery around the fuse kernel (sp_matcher.cpp:1086-1100)."""
+        pids = [p for p in pids
+                if (mp := self.map.get_point(p)) is not None and not mp.bad
+                and kf.kf_id not in mp.obs]
+        if not pids:
+            return
+        L = self.cfg.runtime.local_points_cap
+        pids = pids[:L]
+        pool = self.map.pool
+        idx = np.asarray(pids, np.int64)
+        pos = np.zeros((L, 3), np.float32)
+        desc = np.zeros((L, 256), np.float32)
+        normal = np.zeros((L, 3), np.float32)
+        dmin = np.zeros(L, np.float32)
+        dmax = np.zeros(L, np.float32)
+        valid = np.zeros(L, bool)
+        n = len(pids)
+        pos[:n] = pool.pos[idx]
+        desc[:n] = pool.desc[idx]  # Fuse uses GetDescriptor (distinctive)
+        normal[:n] = pool.normal[idx]
+        dmin[:n] = pool.min_dist[idx]
+        dmax[:n] = pool.max_dist[idx]
+        valid[:n] = True
+        out = self.k.fuse(kf.Tcw, pos, desc, normal, dmin, dmax, valid,
+                          kf.data.uv, kf.data.desc_dev, kf.data.valid)
+        best_idx = out["best_idx"]
+        for li in range(n):
+            bi = int(best_idx[li])
+            if bi < 0:
+                continue
+            mp = self.map.get_point(pids[li])
+            if mp is None or mp.bad or kf.kf_id in mp.obs:
+                continue
+            existing_pid = int(kf.mp_ids[bi])
+            if existing_pid >= 0:
+                other = self.map.get_point(existing_pid)
+                if other is not None and not other.bad and other.pid != mp.pid:
+                    if other.n_obs > mp.n_obs:
+                        self.map.replace_point(mp, other)
+                    else:
+                        self.map.replace_point(other, mp)
+            else:
+                self.map.add_observation(mp, kf.kf_id, bi)
+
+    def local_bundle_adjustment(self, kf: KeyFrame) -> None:
+        """optimizer.cpp:445-774 assembly + device solve."""
+        rt = self.cfg.runtime
+        local = [kf.kf_id] + [k for k in kf.ordered_neighbors
+                              if not self.map.keyframes[k].bad]
+        local = local[:rt.ba_kfs_cap // 2]
+        local_set = set(local)
+        pids = []
+        pseen = set()
+        for kid in local:
+            for pid in self.map.keyframes[kid].mp_ids:
+                if pid >= 0 and pid not in pseen:
+                    mp = self.map.get_point(int(pid))
+                    if mp is not None and not mp.bad:
+                        pseen.add(int(pid))
+                        pids.append(mp.pid)
+        fixed = []
+        fseen = set(local_set)
+        for p in pids:
+            for kid in self.map.points[p].obs:
+                if kid not in fseen:
+                    fkf = self.map.keyframes.get(kid)
+                    if fkf is not None and not fkf.bad:
+                        fixed.append(kid)
+                    fseen.add(kid)
+        fixed = fixed[:rt.ba_kfs_cap - len(local)]
+        # Gauge anchoring (deviation from the reference, which pins only KF
+        # id 0, optimizer.cpp:524): with no fixed boundary observers a
+        # monocular local BA has an exact free scale gauge; in float32 the
+        # optimizer spreads per-KF drift along that valley and the map scale
+        # random-walks.  Pin the oldest local KF as a second anchor whenever
+        # the boundary is empty.
+        if not fixed and len(local) > 2:
+            non_origin = [k for k in local if k != self.map.kf_origin]
+            oldest = min(non_origin)
+            local = [k for k in local if k != oldest]
+            fixed = [oldest]
+        caps = (rt.ba_kfs_cap, rt.ba_points_cap, rt.ba_obs_cap)
+        try:
+            packed = _assemble_ba(self.map, local, fixed, pids, caps)
+        except ValueError:
+            return
+        (poses, fixd, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
+         obs_valid, kf_index, pt_index, obs_ref, dropped) = packed
+        res = ba_mod.bundle_adjust(
+            poses, fixd, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
+            obs_valid, self.k.K_intr, iters1=5, iters2=10, two_phase=True,
+            robust=True)
+        _writeback_ba(self.map, res, kf_index, pt_index, obs_ref, fixd)
+
+    def keyframe_culling(self, kf: KeyFrame) -> None:
+        """KeyFrameCullingOverride (local_mapper.cpp:979-1032): repeatedly
+        cull the covisible KF with the highest redundant-observation ratio
+        above the threshold."""
+        candidates = [k for k in kf.ordered_neighbors
+                      if k != self.map.kf_origin]
+        alive = set(candidates)
+        while alive:
+            best_ratio = 0.0
+            best = None
+            for kid in list(alive):
+                ckf = self.map.keyframes.get(kid)
+                if ckf is None or ckf.bad:
+                    alive.discard(kid)
+                    continue
+                n_mp = 0
+                n_red = 0
+                for pid in ckf.mp_ids:
+                    if pid < 0:
+                        continue
+                    mp = self.map.get_point(int(pid))
+                    if mp is None or mp.bad:
+                        continue
+                    n_mp += 1
+                    if mp.n_obs >= self.cfg.mapping.kf_culling_num_obs:
+                        n_red += 1
+                ratio = n_red / max(n_mp, 1)
+                if ratio < self.cfg.mapping.kf_culling_cov_ratio:
+                    alive.discard(kid)
+                elif ratio > best_ratio:
+                    best_ratio = ratio
+                    best = kid
+            if best is None:
+                break
+            self.map.erase_keyframe(self.map.keyframes[best])
+            alive.discard(best)

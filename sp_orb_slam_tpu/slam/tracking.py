@@ -1,0 +1,632 @@
+"""The tracking state machine (frontend).
+
+Host-side rebuild of `Tracking`/`MonoTracker` (src/tracking/tracker.cpp,
+tracker_dust.cpp, mono_tracker.cpp): the per-frame decision logic runs in
+Python around the fused device kernels in slam/kernels.py.
+
+State machine (tracker.h:62-68): NO_IMAGES_YET -> NOT_INITIALIZED -> OK/LOST.
+Per-frame flow (tracker.cpp:182-357):
+  dust coarse track -> (fail) motion model -> (fail) brute-force ref-KF ANN
+  -> TrackLocalMap -> inlier gates -> motion-model update -> KF policy ->
+  relative-pose trajectory bookkeeping.
+Relocalization from LOST is non-functional in the reference (stubbed,
+tracker.cpp:986-1138) — the ANN ref-KF fallback is the only recovery, and a
+LOST state with <= 5 KFs triggers a system reset (tracker.cpp:329-335).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from sp_orb_slam_tpu.config import Config
+from sp_orb_slam_tpu.slam.frame import FrameData
+from sp_orb_slam_tpu.slam.kernels import TrackingKernels
+from sp_orb_slam_tpu.slam.map import Map, MapPoint
+
+NO_IMAGES_YET = 0
+NOT_INITIALIZED = 1
+OK = 2
+LOST = 3
+
+
+class Tracking:
+    def __init__(self, cfg: Config, world: Map, kernels: TrackingKernels,
+                 mapper=None):
+        self.cfg = cfg
+        self.map = world
+        self.k = kernels
+        self.mapper = mapper
+        self.state = NO_IMAGES_YET
+        self.last_frame: Optional[FrameData] = None
+        self.velocity: Optional[np.ndarray] = None  # Tcl
+        self.ref_kf: int = -1
+        self.last_kf_id_frame = 0   # mnLastKeyFrameId (frame id of last KF)
+        self.matches_inliers = 0
+        self.n_fail_dust = 0
+        self.request_reset = False
+        # init state
+        self._init_frame: Optional[FrameData] = None
+        self._prev_matched: Optional[np.ndarray] = None
+        self._init_key = jax.random.PRNGKey(31415926)  # initializer.cpp:77
+        # local map
+        self.local_kfs: List[int] = []
+        self.local_pids: List[int] = []
+        # trajectory bookkeeping (tracker.cpp:343-356)
+        self.rel_poses: List[np.ndarray] = []
+        self.refs: List[int] = []
+        self.times: List[float] = []
+        self.lost_flags: List[bool] = []
+        # stats (tracker.h:54-59)
+        self.inlier_coarse: List[int] = []
+        self.inlier_fine: List[int] = []
+
+    # ------------------------------------------------------------------ API
+
+    def track_frame(self, frame: FrameData) -> None:
+        if self.state == NO_IMAGES_YET:
+            self.state = NOT_INITIALIZED
+        if self.state == NOT_INITIALIZED:
+            self._initialization(frame)
+            if self.state == OK:
+                self.velocity = np.eye(4, dtype=np.float32)
+            self._record_trajectory(frame)
+            return
+        self._track(frame)
+        self._record_trajectory(frame)
+
+    # --------------------------------------------------------- initialization
+
+    def _initialization(self, frame: FrameData) -> None:
+        """mono_tracker.cpp:38-115 (SP thresholds 40/40)."""
+        th = 40
+        if self._init_frame is None:
+            if frame.count > th:
+                self._init_frame = frame
+                self._prev_matched = frame.uv.copy()
+                self.last_frame = frame
+            return
+        if frame.count <= th:
+            self._init_frame = None
+            return
+        f1 = self._init_frame
+        self._init_key, sub = jax.random.split(self._init_key)
+        out = self.k.init_two_view(
+            f1.desc_dev, f1.uv, f1.valid, self._prev_matched,
+            frame.desc_dev, frame.uv, frame.valid, sub)
+        if out["n_matches"] < th:
+            self._init_frame = None
+            return
+        # update prev_matched for the next attempt (sp_matcher.cpp:729-732)
+        m12 = out["match12"]
+        has = m12 >= 0
+        self._prev_matched[has] = frame.uv[np.clip(m12[has], 0, None)]
+        if not out["ok"]:
+            self.last_frame = frame
+            return
+
+        # CreateInitialMap (mono_tracker.cpp:117-224)
+        f1.set_pose(np.eye(4, dtype=np.float32))
+        Tcw = np.eye(4, dtype=np.float32)
+        Tcw[:3, :3] = out["R21"]
+        Tcw[:3, 3] = out["t21"]
+        frame.set_pose(Tcw)
+
+        kf_ini = self.map.add_keyframe(f1)
+        kf_cur = self.map.add_keyframe(frame)
+        tri = out["triangulated"]
+        for i in np.nonzero(tri)[0]:
+            j = int(m12[i])
+            mp = self.map.create_point(out["points"][i], kf_cur.kf_id)
+            self.map.add_observation(mp, kf_ini.kf_id, int(i))
+            self.map.add_observation(mp, kf_cur.kf_id, j)
+            self.map.compute_distinctive_descriptor(mp)
+            self.map.update_desc_track(mp, kf_cur.kf_id, j)
+            self.map.update_normal_and_depth(mp)
+            frame.mp_ids[j] = mp.pid
+        self.map.update_connections(kf_ini)
+        self.map.update_connections(kf_cur)
+
+        # global BA (20 iters) + median-depth normalization
+        from sp_orb_slam_tpu.slam.local_mapping import run_global_ba
+        run_global_ba(self.map, self.k, iters=20)
+
+        median_depth = self._scene_median_depth(kf_ini)
+        n_tracked = sum(1 for pid in kf_cur.mp_ids if pid >= 0)
+        if median_depth < 0 or n_tracked < 100:
+            self.request_reset = True
+            self._init_frame = None
+            return
+        inv_md = 1.0 / median_depth
+        Tc2w = kf_cur.Tcw.copy()
+        Tc2w[:3, 3] *= inv_md
+        kf_cur.set_pose(Tc2w)
+        for pid in kf_ini.mp_ids:
+            if pid >= 0:
+                self.map.pool.pos[pid] *= inv_md
+                mp = self.map.get_point(int(pid))
+                if mp is not None:
+                    self.map.update_normal_and_depth(mp)
+        frame.set_pose(kf_cur.Tcw)
+        frame.ref_kf = kf_cur.kf_id
+
+        if self.mapper is not None:
+            self.mapper.insert_keyframe(kf_ini.kf_id)
+            self.mapper.insert_keyframe(kf_cur.kf_id)
+        self.ref_kf = kf_cur.kf_id
+        self.last_kf_id_frame = frame.frame_id
+        self.last_frame = frame
+        self.local_kfs = [kf_cur.kf_id, kf_ini.kf_id]
+        self.state = OK
+
+    def _scene_median_depth(self, kf) -> float:
+        """KeyFrame::ComputeSceneMedianDepth(2)."""
+        zs = []
+        R2 = kf.Tcw[2, :3]
+        t2 = kf.Tcw[2, 3]
+        for pid in kf.mp_ids:
+            if pid >= 0:
+                zs.append(float(R2 @ self.map.pool.pos[pid] + t2))
+        if not zs:
+            return -1.0
+        zs.sort()
+        return zs[(len(zs) - 1) // 2]
+
+    # ----------------------------------------------------------------- track
+
+    def _track(self, frame: FrameData) -> None:
+        self._check_replaced_in_last_frame()
+        ok = False
+        if self.state == OK:
+            ok = self._track_dust(frame)
+            if not ok:
+                self.n_fail_dust += 1
+                ok = self._track_motion_model(frame)
+        else:
+            ok = self._track_reference_kf(frame)
+        if not ok:
+            ok = self._track_reference_kf(frame)
+        frame.ref_kf = self.ref_kf
+        if ok:
+            ok = self._track_local_map(frame)
+        self.state = OK if ok else LOST
+
+        if ok:
+            # motion model update (tracker.cpp:283-291)
+            if self.last_frame is not None and self.last_frame.Tcw is not None:
+                last_Twc = np.eye(4, dtype=np.float32)
+                last_Twc[:3, :3] = self.last_frame.Rcw.T
+                last_Twc[:3, 3] = self.last_frame.Ow
+                self.velocity = frame.Tcw @ last_Twc
+            else:
+                self.velocity = None
+            # clean VO matches: drop bindings to unobserved points (:295-303)
+            for i in np.nonzero(frame.mp_ids >= 0)[0]:
+                mp = self.map.get_point(int(frame.mp_ids[i]))
+                if mp is None or mp.bad or mp.n_obs < 1:
+                    frame.mp_ids[i] = -1
+                    frame.outlier[i] = False
+            if self._need_new_keyframe(frame):
+                self._create_keyframe(frame)
+            # final outlier scrub (:319-322)
+            frame.mp_ids[frame.outlier] = -1
+        if self.state == LOST and self.map.n_keyframes() <= 5:
+            self.request_reset = True
+            return
+        if frame.ref_kf < 0:
+            frame.ref_kf = self.ref_kf
+        self.last_frame = frame
+
+    def _check_replaced_in_last_frame(self) -> None:
+        if self.last_frame is None:
+            return
+        for i in np.nonzero(self.last_frame.mp_ids >= 0)[0]:
+            mp = self.map.points.get(int(self.last_frame.mp_ids[i]))
+            if mp is not None and mp.replaced_by >= 0:
+                rep = self.map.get_point(mp.pid)
+                self.last_frame.mp_ids[i] = rep.pid if rep is not None else -1
+
+    def _update_last_frame_pose(self) -> None:
+        """UpdateLastFrameOverride (tracker.cpp:471-479)."""
+        if not self.rel_poses:
+            return
+        ref = self.map.keyframes.get(self.last_frame.ref_kf)
+        if ref is not None:
+            self.last_frame.set_pose(self.rel_poses[-1] @ ref.Tcw)
+
+    def _gather_dust_points(self, frame: FrameData):
+        """tracker_dust.cpp:34-87: >= 150 candidates from last frame, then
+        the reference KF, then up to 5 covisible KFs."""
+        P = self.cfg.runtime.dust_points_cap
+        pids: List[int] = []
+        seen = set()
+
+        def add_from(id_list):
+            for pid in id_list:
+                pid = int(pid)
+                if pid < 0 or pid in seen:
+                    continue
+                mp = self.map.get_point(pid)
+                if mp is None or mp.bad:
+                    continue
+                seen.add(pid)
+                mp.in_view = False
+                mp.dust_match = False
+                pids.append(mp.pid)
+                if len(pids) >= P:
+                    return
+
+        add_from(self.last_frame.mp_ids)
+        ref = self.map.keyframes.get(self.last_frame.ref_kf)
+        n_kfs = 1
+        if len(pids) < 150 and ref is not None:
+            add_from(ref.mp_ids)
+        if len(pids) < 150 and ref is not None:
+            for kid in ref.best_covisible(5):
+                kf = self.map.keyframes.get(kid)
+                if kf is None or kf.bad:
+                    continue
+                n_kfs += 1
+                add_from(kf.mp_ids)
+                if len(pids) >= 150:
+                    break
+        return pids[:P], n_kfs
+
+    def _pad_mp_arrays(self, pids: List[int], cap: int, desc_src: np.ndarray):
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, desc_src.shape[1]), np.float32)
+        valid = np.zeros(cap, bool)
+        n = min(len(pids), cap)
+        if n:
+            idx = np.asarray(pids[:n], np.int64)
+            pos[:n] = self.map.pool.pos[idx]
+            desc[:n] = desc_src[idx]
+            valid[:n] = True
+        return pos, desc, valid
+
+    def _track_dust(self, frame: FrameData) -> bool:
+        """trackFrameDustKFLocal (tracker_dust.cpp:22-228)."""
+        self._update_last_frame_pose()
+        Tcw_pred = (self.velocity @ self.last_frame.Tcw
+                    if self.velocity is not None else self.last_frame.Tcw)
+        frame.set_pose(Tcw_pred)
+        frame.mp_ids[:] = -1
+        ref = self.map.keyframes.get(self.last_frame.ref_kf)
+        frame.ref_kf = self.last_frame.ref_kf
+
+        pids, n_kfs = self._gather_dust_points(frame)
+        if not pids:
+            return False
+        P = self.cfg.runtime.dust_points_cap
+        pos, desc_track, valid = self._pad_mp_arrays(
+            pids, P, self.map.pool.desc_track)
+        d = self.cfg.tracking.dust
+        out = self.k.dust_track(
+            Tcw_pred.astype(np.float32), pos, desc_track, valid,
+            frame.dust_dev, frame.occ_grid_dev, frame.desc_dev, frame.uv,
+            frame.cov2_inv, frame.valid)
+
+        # viz/state feedback on the candidate points
+        for li, pid in enumerate(pids):
+            mp = self.map.points.get(pid)
+            if mp is not None:
+                mp.in_view = bool(out["mp_in_view"][li])
+                mp.dust_match = bool(out["mp_matched"][li])
+
+        if out["n_coarse"] < d.th_ninlier:
+            frame.set_pose(Tcw_pred)
+            return False
+        if out["n_match"] < d.th_nmatch:
+            frame.set_pose(Tcw_pred)
+            return False
+        # bind
+        kp2mp = out["kp2mp"]
+        bound = kp2mp >= 0
+        frame.mp_ids[bound] = np.asarray(pids, np.int64)[kp2mp[bound]]
+        frame.outlier[:] = False
+        frame.outlier[bound & ~out["post_inlier"]] = True
+        frame.set_pose(out["Tcw"])
+
+        n_opt = int(out["n_opt"])
+        self.inlier_coarse.append(n_opt)
+        if n_opt * 1.0 / max(int(out["n_match"]), 1) > d.th_ratio:
+            return True
+        frame.set_pose(Tcw_pred)
+        return False
+
+    def _track_motion_model(self, frame: FrameData) -> bool:
+        """TrackWithMotionModel (tracker.cpp:480-559)."""
+        if self.velocity is None:
+            return False
+        self._update_last_frame_pose()
+        Tcw_pred = self.velocity @ self.last_frame.Tcw
+        frame.mp_ids[:] = -1
+        frame.outlier[:] = False
+
+        pids = [int(p) for i, p in enumerate(self.last_frame.mp_ids)
+                if p >= 0 and not self.last_frame.outlier[i]]
+        pids = [p for p in pids
+                if (mp := self.map.get_point(p)) is not None and not mp.bad]
+        if not pids:
+            return False
+        P = self.cfg.runtime.local_points_cap
+        pos, desc_track, valid = self._pad_mp_arrays(
+            pids, P, self.map.pool.desc_track)
+        out = self.k.motion_track(
+            Tcw_pred.astype(np.float32), pos, desc_track, valid,
+            frame.desc_dev, frame.uv, frame.cov2_inv, frame.valid)
+        kp2mp = out["kp2mp"]
+        bound = kp2mp >= 0
+        frame.mp_ids[bound] = np.asarray(pids, np.int64)[
+            np.clip(kp2mp[bound], 0, len(pids) - 1)]
+        frame.outlier[bound & ~out["inlier"]] = True
+        frame.set_pose(out["Tcw"])
+        # discard outliers + count map inliers (tracker.cpp:524-545)
+        n_map = 0
+        for i in np.nonzero(bound)[0]:
+            pid = int(frame.mp_ids[i])
+            mp = self.map.get_point(pid)
+            if frame.outlier[i]:
+                frame.mp_ids[i] = -1
+                frame.outlier[i] = False
+                if mp is not None:
+                    mp.last_frame_seen = frame.frame_id
+            elif mp is not None and mp.n_obs > 0:
+                n_map += 1
+        return n_map >= self.cfg.tracking.motion.th_nmatch_opt
+
+    def _track_reference_kf(self, frame: FrameData) -> bool:
+        """trackReferenceKeyFrameANN (tracker.cpp:372-417)."""
+        ref = self.map.keyframes.get(self.ref_kf)
+        if ref is None or ref.bad:
+            return False
+        frame.mp_ids[:] = -1
+        frame.outlier[:] = False
+        # train set: the ref KF's *observed* keypoint descriptors
+        kf_pids = ref.mp_ids
+        rows = []
+        pids = []
+        for i, pid in enumerate(kf_pids):
+            if pid < 0:
+                continue
+            mp = self.map.get_point(int(pid))
+            if mp is None or mp.bad:
+                continue
+            rows.append(i)
+            pids.append(mp.pid)
+        if not pids:
+            return False
+        K = self.cfg.runtime.max_keypoints
+        pos = np.zeros((K, 3), np.float32)
+        desc = np.zeros((K, 256), np.float32)
+        valid = np.zeros(K, bool)
+        n = min(len(pids), K)
+        pos[:n] = self.map.pool.pos[np.asarray(pids[:n])]
+        desc[:n] = ref.data.desc_host[np.asarray(rows[:n])]
+        valid[:n] = True
+        T0 = (self.last_frame.Tcw if self.last_frame is not None
+              and self.last_frame.Tcw is not None else np.eye(4, np.float32))
+        out = self.k.ref_track(
+            T0.astype(np.float32), pos, desc, valid, frame.desc_dev,
+            frame.uv, frame.cov2_inv, frame.valid)
+        kp2mp = out["kp2mp"]
+        bound = kp2mp >= 0
+        frame.mp_ids[bound] = np.asarray(pids, np.int64)[
+            np.clip(kp2mp[bound], 0, len(pids) - 1)]
+        frame.outlier[bound & ~out["inlier"]] = True
+        frame.set_pose(out["Tcw"])
+        n_map = 0
+        for i in np.nonzero(bound)[0]:
+            pid = int(frame.mp_ids[i])
+            mp = self.map.get_point(pid)
+            if frame.outlier[i]:
+                frame.mp_ids[i] = -1
+                frame.outlier[i] = False
+                if mp is not None:
+                    mp.last_frame_seen = frame.frame_id
+            elif mp is not None and mp.n_obs > 0:
+                n_map += 1
+        return n_map >= self.cfg.tracking.motion.th_nmatch_opt
+
+    # ---------------------------------------------------------- local map
+
+    def _update_local_map(self, frame: FrameData) -> None:
+        """UpdateLocalKeyFrames/Points (tracker.cpp:868-984, 843-866)."""
+        counter = {}
+        for i in np.nonzero(frame.mp_ids >= 0)[0]:
+            mp = self.map.get_point(int(frame.mp_ids[i]))
+            if mp is None or mp.bad:
+                frame.mp_ids[i] = -1
+                continue
+            for kid in mp.obs:
+                counter[kid] = counter.get(kid, 0) + 1
+        if not counter:
+            return
+        kf_max = max(counter, key=counter.get)
+        self.local_kfs = [k for k in counter
+                          if (kf := self.map.keyframes.get(k)) is not None
+                          and not kf.bad]
+        marked = set(self.local_kfs)
+        for kid in list(self.local_kfs):
+            if len(self.local_kfs) > 80:
+                break
+            kf = self.map.keyframes[kid]
+            for nb in kf.best_covisible(20):
+                nkf = self.map.keyframes.get(nb)
+                if nkf is not None and not nkf.bad and nb not in marked:
+                    self.local_kfs.append(nb)
+                    marked.add(nb)
+                    break
+            for ch in kf.children:
+                ckf = self.map.keyframes.get(ch)
+                if ckf is not None and not ckf.bad and ch not in marked:
+                    self.local_kfs.append(ch)
+                    marked.add(ch)
+                    break
+            if kf.parent >= 0 and kf.parent not in marked:
+                self.local_kfs.append(kf.parent)
+                marked.add(kf.parent)
+                break
+        self.ref_kf = kf_max
+        frame.ref_kf = kf_max
+        # local points
+        pids = []
+        seen = set()
+        for kid in self.local_kfs:
+            kf = self.map.keyframes[kid]
+            for pid in kf.mp_ids:
+                if pid >= 0 and pid not in seen:
+                    mp = self.map.get_point(int(pid))
+                    if mp is not None and not mp.bad:
+                        seen.add(int(pid))
+                        pids.append(mp.pid)
+        self.local_pids = pids
+
+    def _track_local_map(self, frame: FrameData) -> bool:
+        """TrackLocalMap (tracker.cpp:561-615) + SearchLocalPoints (:768)."""
+        self._update_local_map(frame)
+        L = self.cfg.runtime.local_points_cap
+        pids = self.local_pids[:L]
+        pid_to_local = {pid: i for i, pid in enumerate(pids)}
+
+        # bookkeeping on currently-bound points (:771-789)
+        bound_pids = set()
+        for i in np.nonzero(frame.mp_ids >= 0)[0]:
+            mp = self.map.get_point(int(frame.mp_ids[i]))
+            if mp is None or mp.bad:
+                frame.mp_ids[i] = -1
+                continue
+            mp.n_visible += 1
+            mp.last_frame_seen = frame.frame_id
+            bound_pids.add(mp.pid)
+
+        pool = self.map.pool
+        pos = np.zeros((L, 3), np.float32)
+        desc = np.zeros((L, 256), np.float32)
+        normal = np.zeros((L, 3), np.float32)
+        dmin = np.zeros(L, np.float32)
+        dmax = np.zeros(L, np.float32)
+        valid = np.zeros(L, bool)
+        skip = np.zeros(L, bool)
+        n = len(pids)
+        if n:
+            idx = np.asarray(pids, np.int64)
+            pos[:n] = pool.pos[idx]
+            desc[:n] = pool.desc_track[idx]
+            normal[:n] = pool.normal[idx]
+            dmin[:n] = pool.min_dist[idx]
+            dmax[:n] = pool.max_dist[idx]
+            valid[:n] = True
+            skip[:n] = [pid in bound_pids for pid in pids]
+
+        kp2mp0 = np.full(frame.K, -1, np.int64)
+        for i in np.nonzero(frame.mp_ids >= 0)[0]:
+            li = pid_to_local.get(int(frame.mp_ids[i]))
+            if li is not None:
+                kp2mp0[i] = li
+        out = self.k.local_map_track(
+            frame.Tcw.astype(np.float32), pos, desc, normal, dmin, dmax,
+            valid, skip, kp2mp0, frame.desc_dev, frame.uv, frame.cov2_inv,
+            frame.valid)
+        # visible bookkeeping (IncreaseVisible on frustum hits, :798-804)
+        for li in np.nonzero(out["mp_visible"][:n])[0]:
+            mp = self.map.points.get(pids[li])
+            if mp is not None:
+                mp.n_visible += 1
+
+        kp2mp = out["kp2mp"]
+        bound = kp2mp >= 0
+        frame.mp_ids[:] = -1
+        frame.mp_ids[bound] = np.asarray(pids + [0], np.int64)[
+            np.clip(kp2mp[bound], 0, max(n - 1, 0))]
+        frame.outlier[:] = False
+        frame.outlier[bound & ~out["inlier"]] = True
+        frame.set_pose(out["Tcw"])
+
+        self.matches_inliers = 0
+        for i in np.nonzero(bound)[0]:
+            mp = self.map.get_point(int(frame.mp_ids[i]))
+            if mp is None:
+                continue
+            if not frame.outlier[i]:
+                mp.n_found += 1
+                if mp.n_obs > 0:
+                    self.matches_inliers += 1
+        self.inlier_fine.append(self.matches_inliers)
+
+        if self.matches_inliers < self.cfg.tracking.map.th_ninlier_low:
+            return False
+        return True
+
+    # ------------------------------------------------------------ keyframes
+
+    def _need_new_keyframe(self, frame: FrameData) -> bool:
+        """NeedNewKeyFrameOverride (tracker.cpp:617-670)."""
+        if self.mapper is not None and self.mapper.stopped:
+            return False
+        ref = self.map.keyframes.get(self.ref_kf)
+        if ref is None:
+            return False
+        curr_pids = set()
+        for i in np.nonzero(frame.mp_ids >= 0)[0]:
+            if not frame.outlier[i]:
+                mp = self.map.get_point(int(frame.mp_ids[i]))
+                if mp is not None and not mp.bad:
+                    curr_pids.add(mp.pid)
+        n_common, total = self.map.tracked_in_common(ref, curr_pids)
+        ratio_in_common = n_common / total
+        idle = self.mapper.accepting if self.mapper is not None else True
+        t = self.cfg.tracking
+        c1a = frame.frame_id >= self.last_kf_id_frame + self.cfg.camera.fps
+        ratio_in_curr = self.matches_inliers / max(frame.count, 1)
+        c1b = (ratio_in_common < t.create_kf_tracked_over_ref
+               and ratio_in_curr < t.create_kf_tracked_over_curr)
+        c2 = ratio_in_common < t.create_kf_ref_ratio
+        c3 = self.matches_inliers < t.create_kf_nmatch
+        if ((c1a or c1b or idle) and c2) or c3:
+            if idle:
+                return True
+            if self.mapper is not None:
+                self.mapper.interrupt_ba()
+            return bool(c3)
+        return False
+
+    def _create_keyframe(self, frame: FrameData) -> None:
+        """CreateNewKeyFrameOverride (tracker.cpp:744-766)."""
+        kf = self.map.add_keyframe(frame)
+        self.ref_kf = kf.kf_id
+        frame.ref_kf = kf.kf_id
+        if self.mapper is not None:
+            self.mapper.insert_keyframe(kf.kf_id)
+        self.last_kf_id_frame = frame.frame_id
+
+    # ----------------------------------------------------------- trajectory
+
+    def _record_trajectory(self, frame: FrameData) -> None:
+        """tracker.cpp:343-356."""
+        if frame.Tcw is not None and frame.ref_kf >= 0:
+            ref = self.map.keyframes.get(frame.ref_kf)
+            if ref is not None:
+                Twr = np.linalg.inv(ref.Tcw)
+                self.rel_poses.append(frame.Tcw @ Twr)
+                self.refs.append(frame.ref_kf)
+                self.times.append(frame.timestamp)
+                self.lost_flags.append(self.state == LOST)
+                return
+        if self.rel_poses:
+            self.rel_poses.append(self.rel_poses[-1])
+            self.refs.append(self.refs[-1])
+            self.times.append(frame.timestamp)
+            self.lost_flags.append(self.state == LOST)
+
+    def report(self) -> dict:
+        return dict(
+            n_frames=len(self.rel_poses),
+            n_fail_dust=self.n_fail_dust,
+            coarse_inliers=float(np.mean(self.inlier_coarse)) if self.inlier_coarse else 0.0,
+            fine_inliers=float(np.mean(self.inlier_fine)) if self.inlier_fine else 0.0,
+            n_lost=int(np.sum(self.lost_flags)),
+        )

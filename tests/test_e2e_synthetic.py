@@ -1,0 +1,64 @@
+"""End-to-end VO on the synthetic injected-feature dataset: the full
+pipeline (two-view init -> dust tracking -> local map tracking -> keyframe
+creation -> triangulation -> fuse -> local BA -> culling) with a known
+ground-truth trajectory, evaluated with the reference's Sim3-APE protocol."""
+
+import numpy as np
+import pytest
+
+from sp_orb_slam_tpu.config import Config, _merge_dataclass
+from sp_orb_slam_tpu.eval.ate import ate_sim3
+from sp_orb_slam_tpu.io.dataset import SyntheticDataset
+from sp_orb_slam_tpu.slam.system import System
+from sp_orb_slam_tpu.slam import tracking as tr
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    return _merge_dataclass(Config(), {
+        "dataset": "synthetic",
+        "camera": {"width": 320, "height": 240, "fx": 260.0, "fy": 260.0,
+                   "cx": 160.0, "cy": 120.0, "fps": 20.0},
+        "tracking": {"num_features": 250},
+        "runtime": {"max_keypoints": 256, "dust_points_cap": 128,
+                    "local_points_cap": 1024, "ba_kfs_cap": 32,
+                    "ba_points_cap": 1024, "ba_obs_cap": 4096,
+                    "init_ransac_iters": 60},
+    })
+
+
+def test_synthetic_vo_end_to_end(small_cfg):
+    ds = SyntheticDataset(small_cfg, n_frames=50, n_points=5000, seed=6,
+                          pixel_noise=0.3)
+    sys_ = System(small_cfg)
+    sys_.spin(ds)
+
+    rep = sys_.report()
+    assert rep["n_keyframes"] >= 10, rep
+    assert rep["n_points"] > 300, rep
+    assert sys_.tracker.state == tr.OK, rep
+    assert rep["n_lost"] == 0, rep
+
+    ts_est, poses_est = sys_.trajectory()
+    assert len(ts_est) > 30
+    ts_gt, poses_gt = ds.gt_trajectory()
+    res = ate_sim3(ts_est, poses_est[:, :3, 3], ts_gt, poses_gt[:, :3, 3])
+    # Mono VO is chaotically sensitive to float32 reduction order, and XLA
+    # CPU numerics are not stable across processes, so per-run ATE on this
+    # 4-unit trajectory legitimately varies ~0.1-0.5.  The structural
+    # asserts above (no LOST episodes, sustained keyframe/point growth)
+    # catch the round-1 regression classes (frustum-gate unanchoring, BA
+    # gauge corruption) which all produced LOST streaks or map stalls;
+    # the ATE bound here only rejects outright divergence.
+    assert res.rmse < 0.5, res
+
+    # trajectory files write and parse
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "traj.txt")
+        sys_.save_trajectory_tum(p)
+        data = np.loadtxt(p)
+        assert data.shape[1] == 8
+        sys_.save_keyframe_trajectory_tum(os.path.join(d, "kf.txt"))
+        sys_.save_trajectory_kitti(os.path.join(d, "kitti.txt"))
