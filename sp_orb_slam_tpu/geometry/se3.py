@@ -50,10 +50,13 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3, 3) -> (..., 3)."""
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    """(..., 3, 3) -> (..., 3).
+
+    atan2/series formulation with finite autodiff gradients at the identity
+    (the arccos form has d/dx -> inf at cos = 1, which poisons jacfwd through
+    pose-graph residuals).  Near theta = pi precision degrades; incremental
+    pose updates stay far from pi.
+    """
     vee = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -62,11 +65,17 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    scale = jnp.where(theta < 1e-6, 0.5 + theta * theta / 12.0,
-                      theta / (2.0 * sin_t + _EPS))
-    # Note: near theta = pi this loses precision; adequate for incremental
-    # pose updates which stay far from pi.
+    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    cos_t = (trace - 1.0) * 0.5
+    s2 = jnp.sum(vee * vee, axis=-1) * 0.25  # sin^2(theta)
+    small = s2 < 1e-10
+    # branch-safe operands (keep sqrt away from 0 on the taken branch)
+    s2_safe = jnp.where(small, 1.0, s2)
+    sin_t = jnp.sqrt(s2_safe)
+    theta = jnp.arctan2(sin_t, cos_t)
+    scale = jnp.where(small,
+                      0.5 + s2 / 12.0,           # series in sin^2
+                      theta / (2.0 * sin_t))
     return scale[..., None] * vee
 
 
