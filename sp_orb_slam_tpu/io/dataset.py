@@ -130,6 +130,26 @@ def _smooth_trajectory(n: int, rng) -> np.ndarray:
     return np.stack(poses)
 
 
+def _loop_trajectory(n: int) -> np.ndarray:
+    """A closed circle (camera yawing to face outward) returning to the
+    start — the loop-closure test trajectory."""
+    poses = []
+    radius = 2.0
+    for i in range(n):
+        t = i / n
+        ang = 2 * np.pi * t
+        pos = np.array([radius * np.sin(ang), 0.08 * np.sin(4 * np.pi * t),
+                        radius * (1 - np.cos(ang))])
+        yaw = ang  # tangent heading
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+    return np.stack(poses)
+
+
 class SyntheticDataset:
     """Procedural scene with injected features + ground truth.
 
@@ -142,25 +162,46 @@ class SyntheticDataset:
 
     def __init__(self, cfg: Config, n_frames: int = 120, n_points: int = 4000,
                  seed: int = 0, pixel_noise: float = 0.3,
-                 desc_noise: float = 0.01):
+                 desc_noise: float = 0.01, loop: bool = False):
         self.cfg = cfg
         rng = np.random.default_rng(seed)
         self.n_frames = n_frames
         cam = cfg.camera
         self.K = np.array([cam.fx, cam.fy, cam.cx, cam.cy], np.float32)
-        # points in a thick shell around the trajectory corridor
-        self.points = np.stack([
-            rng.uniform(-6, 6, n_points),
-            rng.uniform(-4, 4, n_points),
-            rng.uniform(2, 14, n_points)], -1).astype(np.float32)
+        # points in a thick shell around the trajectory corridor (for loop
+        # trajectories the camera yaws a full turn, so fill all directions)
+        if loop:
+            self.points = np.stack([
+                rng.uniform(-10, 10, n_points),
+                rng.uniform(-4, 4, n_points),
+                rng.uniform(-8, 12, n_points)], -1).astype(np.float32)
+        else:
+            self.points = np.stack([
+                rng.uniform(-6, 6, n_points),
+                rng.uniform(-4, 4, n_points),
+                rng.uniform(2, 14, n_points)], -1).astype(np.float32)
+        self.loop = loop
+        # place-recognition model: random Fourier features of (pos, yaw) —
+        # nearby poses give high dot products (the pluggable global_desc
+        # source, like the reference's precomputed VLAD files)
+        self._rff_w = rng.normal(0, 1.0, (256, 5)).astype(np.float64)
+        self._rff_b = rng.uniform(0, 2 * np.pi, 256)
         d = rng.normal(0, 1, (n_points, 256)).astype(np.float32)
         self.descs = d / np.linalg.norm(d, axis=1, keepdims=True)
         # note: per-dim noise sigma n adds a vector of norm ~n*16 to a unit
         # descriptor; keep it well under TH_LOW/sqrt(2) (matching.py)
-        self.poses = _smooth_trajectory(n_frames, rng)  # Twc
+        self.poses = (_loop_trajectory(n_frames)
+                      if loop else _smooth_trajectory(n_frames, rng))  # Twc
         self.rng = rng
         self.pixel_noise = pixel_noise
         self.desc_noise = desc_noise
+
+    def _global_desc(self, i: int) -> np.ndarray:
+        Twc = self.poses[i].astype(np.float64)
+        yaw = np.arctan2(Twc[0, 2], Twc[0, 0])
+        f = np.concatenate([Twc[:3, 3] / 1.5, [np.cos(yaw), np.sin(yaw)]])
+        g = np.cos(self._rff_w @ f + self._rff_b)
+        return (g / np.linalg.norm(g)).astype(np.float32)
 
     def __len__(self):
         return self.n_frames
@@ -226,6 +267,7 @@ class SyntheticDataset:
         return RawFrame(
             timestamp=i / cam.fps,
             gt_pose=Twc,
+            global_desc=self._global_desc(i),
             injected=dict(uv=uv, desc=desc, valid=valid, occ_grid=occ,
                           dust=dust, cov2_inv=cov2_inv, score=score,
                           count=int(valid.sum()), point_ids=point_ids),

@@ -275,34 +275,32 @@ def optimize_pose_graph(xi_nodes, fixed, edge_i, edge_j, edge_meas,
     """
     N = xi_nodes.shape[0]
 
-    def edge_residual(xi_i, xi_j, meas):
-        Si = sim3_exp(xi_i)
-        Sj_inv = sim3_inverse(sim3_exp(xi_j))
-        Sji = sim3_exp(meas)
-        err = sim3_mul(sim3_mul(Sji, Si), Sj_inv)
-        return sim3_log(*err)
-
-    def total(x_flat):
+    def cost_of(x_flat):
         x = x_flat.reshape(N, 7)
 
         def one(i, j, meas, v):
-            r = edge_residual(x[i], x[j], meas)
+            Si = sim3_exp(x[i])
+            Sj_inv = sim3_inverse(sim3_exp(x[j]))
+            err = sim3_mul(sim3_mul(sim3_exp(meas), Si), Sj_inv)
+            r = sim3_log(*err)
             return jnp.where(v, r, jnp.zeros(7))
 
-        return jax.vmap(one)(edge_i, edge_j, edge_meas, edge_valid)
-
-    def cost_of(x_flat):
-        r = total(x_flat)
+        r = jax.vmap(one)(edge_i, edge_j, edge_meas, edge_valid)
         return jnp.sum(r * r)
 
     def system(x_flat):
         x = x_flat.reshape(N, 7)
 
         def one(i, j, meas, v):
+            # residual of the *perturbed* nodes composed directly in the
+            # group — exactly one log at the end (intermediate log/exp
+            # roundtrips make float32 jacfwd knife-edge unstable)
             def r_of(dxi, dxj):
-                xi_i = sim3_log(*sim3_mul(sim3_exp(dxi), sim3_exp(x[i])))
-                xi_j = sim3_log(*sim3_mul(sim3_exp(dxj), sim3_exp(x[j])))
-                return edge_residual(xi_i, xi_j, meas)
+                Si = sim3_mul(sim3_exp(dxi), sim3_exp(x[i]))
+                Sj = sim3_mul(sim3_exp(dxj), sim3_exp(x[j]))
+                err = sim3_mul(sim3_mul(sim3_exp(meas), Si),
+                               sim3_inverse(Sj))
+                return sim3_log(*err)
 
             z = jnp.zeros(7)
             r = r_of(z, z)
@@ -356,6 +354,12 @@ def optimize_pose_graph(xi_nodes, fixed, edge_i, edge_j, edge_meas,
         cost = jnp.where(accept, cost_new, cost)
         return x, lam, nu, cost
 
+    # g2o seeds lambda at 1e-16 (fine in double); in float32 a rejected
+    # near-GN step only doubles lambda per trip and the solve can stall for
+    # the whole budget — seed relative to the Hessian scale instead.
+    H0, _ = system(x)
+    lam0 = jnp.maximum(1e-6 * jnp.max(jnp.abs(jnp.diagonal(
+        H0.reshape(N * 7, N * 7)))), 1e-12)
     x, _, _, _ = jax.lax.fori_loop(
-        0, iters, body, (x, jnp.float32(1e-16), jnp.float32(2.0), cost_of(x)))
+        0, iters, body, (x, lam0, jnp.float32(10.0), cost_of(x)))
     return x.reshape(N, 7)

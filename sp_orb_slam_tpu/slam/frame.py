@@ -42,6 +42,9 @@ class FrameData:
     mp_ids: np.ndarray = None                 # (K,) int64, -1 = unbound
     outlier: np.ndarray = None                # (K,) bool
     ref_kf: int = -1
+    # place-recognition global descriptor (reference: loaded from disk by
+    # the Export dataloaders, data_loader.cc:87-109)
+    global_desc: Optional[np.ndarray] = None
 
     def __post_init__(self):
         K = self.uv.shape[0]

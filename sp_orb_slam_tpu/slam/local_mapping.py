@@ -91,12 +91,28 @@ def _writeback_ba(world: Map, res, kf_index, pt_index, obs_ref, fixed):
                 world.erase_observation(mp, kf_id)
 
 
+def _next_pow2(x: int) -> int:
+    n = 1
+    while n < x:
+        n *= 2
+    return n
+
+
 def run_global_ba(world: Map, kernels: TrackingKernels, iters: int = 20,
-                  caps=(8, 2048, 4096)) -> None:
+                  caps=None) -> None:
     """GlobalBundleAdjustemnt (optimizer.cpp:42-229): all KFs + points,
-    single-phase robust Huber, unit information (single-level sigma)."""
+    single-phase robust Huber, unit information (single-level sigma).
+
+    Capacities auto-size to the next power of two (a truncated global BA
+    optimizes a subset against partial constraints and *corrupts* the rest;
+    pow2 bucketing bounds the number of distinct XLA compiles)."""
     kf_ids = [k for k, kf in world.keyframes.items() if not kf.bad]
     pids = [p for p, mp in world.points.items() if not mp.bad]
+    if caps is None:
+        n_obs = sum(world.points[p].n_obs for p in pids)
+        caps = (_next_pow2(max(len(kf_ids), 2)),
+                _next_pow2(max(len(pids), 64)),
+                _next_pow2(max(n_obs, 256)))
     (poses, fixed, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
      obs_valid, kf_index, pt_index, obs_ref, dropped) = _assemble_ba(
         world, kf_ids, [], pids, caps)
@@ -127,6 +143,7 @@ class LocalMapping:
         self.accepting = True
         self.abort_ba = False
         self.current_kf: Optional[KeyFrame] = None
+        self.looper = None  # set by System when use_loop
 
     # ------------------------------------------------------------------ API
 
@@ -156,6 +173,8 @@ class LocalMapping:
                     self.local_bundle_adjustment(kf)
                 if self.cfg.mapping.culling_kf:
                     self.keyframe_culling(kf)
+            if self.looper is not None:
+                self.looper.insert_keyframe(kf.kf_id)
 
     # ------------------------------------------------------------- pipeline
 

@@ -1,0 +1,509 @@
+"""Loop closing with global-descriptor place recognition.
+
+Rebuild of `LoopClosingVLAD` (src/loopclosing/loop_closer_vlad.cpp): the
+reference replaces DBoW2 with NetVLAD global descriptors loaded from disk
+(the in-process NetVLAD is an empty stub, cv/netvlad.cpp); detection is a
+linear scan of the keyframe database by dot product.  Here the descriptor
+source is equally pluggable (RawFrame.global_desc), and the scan is one
+device matvec.
+
+Pipeline (citations into loop_closer_vlad.cpp):
+- detect (:120-255): skip if <10 KFs since last loop; minScore = min dot
+  against covisibles floored at 0.2; candidates above minScore, accumulated
+  over their 10 best covisibles, retained at 0.75 x best; temporal
+  consistency groups with threshold 3;
+- compute_sim3 (:345-502): brute-force match >= 20 -> Sim3 RANSAC
+  (0.99, 20, 300) -> guided Sim3 projection matching -> OptimizeSim3 >= 20
+  -> project the loop neighborhood's points, accept >= 40 total matches;
+- correct_loop (:504-699): propagate Scw to current covisibles, remap
+  their points, fuse matched duplicates, SearchAndFuse over the corrected
+  neighborhood, essential-graph optimization, global BA.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+import jax
+import numpy as np
+
+from sp_orb_slam_tpu.config import Config
+from sp_orb_slam_tpu.optim import sim3 as s3
+from sp_orb_slam_tpu.slam.kernels import TrackingKernels
+from sp_orb_slam_tpu.slam.local_mapping import LocalMapping, run_global_ba
+from sp_orb_slam_tpu.slam.map import Map, KeyFrame
+
+
+def _np_sim3(R, t, s):
+    return np.asarray(R, np.float64), np.asarray(t, np.float64), float(s)
+
+
+def _sim3_mul_np(A, B):
+    Ra, ta, sa = A
+    Rb, tb, sb = B
+    return Ra @ Rb, sa * (Ra @ tb) + ta, sa * sb
+
+
+def _sim3_inv_np(S):
+    R, t, s = S
+    return R.T, -(1.0 / s) * (R.T @ t), 1.0 / s
+
+
+def _sim3_apply_np(S, X):
+    R, t, s = S
+    return s * (X @ R.T) + t
+
+
+class LoopClosing:
+    def __init__(self, cfg: Config, world: Map, kernels: TrackingKernels,
+                 mapper: LocalMapping):
+        self.cfg = cfg
+        self.map = world
+        self.k = kernels
+        self.mapper = mapper
+        self.queue: List[int] = []
+        self.db: List[int] = []           # keyframe ids with global descs
+        self.consistent_groups: List[tuple] = []  # (set(kf_ids), count)
+        self.last_loop_kf = -10 ** 9
+        self.n_loops_closed = 0
+        self._key = jax.random.PRNGKey(271828)
+
+    def insert_keyframe(self, kf_id: int) -> None:
+        self.queue.append(kf_id)
+
+    # ------------------------------------------------------------------ spin
+
+    def spin_once(self) -> None:
+        while self.queue:
+            kf_id = self.queue.pop(0)
+            kf = self.map.keyframes.get(kf_id)
+            if kf is None or kf.bad or kf.global_desc is None:
+                continue
+            candidates = self._detect(kf)
+            if not candidates:
+                continue
+            hit = self._compute_sim3(kf, candidates)
+            if hit is None:
+                continue
+            matched_kf, Scw, matches = hit
+            self._correct_loop(kf, matched_kf, Scw, matches)
+
+    # ---------------------------------------------------------------- detect
+
+    def _detect(self, kf: KeyFrame) -> List[int]:
+        lp = self.cfg.loop
+        if kf.kf_id < self.last_loop_kf + lp.kf_gap:
+            return []
+        connected = set(kf.connections)
+        # minScore = min similarity among covisibles, floored (:150-165)
+        min_score = lp.min_score_floor
+        for kid in connected:
+            other = self.map.keyframes.get(kid)
+            if other is None or other.bad or other.global_desc is None:
+                continue
+            min_score = min(min_score, float(kf.global_desc @ other.global_desc))
+        min_score = max(min_score, lp.min_score_floor)
+
+        scores: Dict[int, float] = {}
+        for kid in self.db:
+            other = self.map.keyframes.get(kid)
+            if other is None or other.bad or kid in connected:
+                continue
+            sc = float(kf.global_desc @ other.global_desc)
+            if sc > min_score:
+                scores[kid] = sc
+        if not scores:
+            self.db.append(kf.kf_id)
+            self.consistent_groups.clear()
+            return []
+
+        # covisibility-accumulated scores + 0.75-best retention (:68-118)
+        acc: List[tuple] = []
+        best_acc = min_score
+        for kid, sc in scores.items():
+            other = self.map.keyframes[kid]
+            acc_score = sc
+            best_kf, best_sc = kid, sc
+            for nb in other.best_covisible(10):
+                if nb in scores:
+                    acc_score += scores[nb]
+                    if scores[nb] > best_sc:
+                        best_kf, best_sc = nb, scores[nb]
+            acc.append((acc_score, best_kf))
+            best_acc = max(best_acc, acc_score)
+        retained = []
+        seen: Set[int] = set()
+        for acc_score, kid in acc:
+            if acc_score > 0.75 * best_acc and kid not in seen:
+                retained.append(kid)
+                seen.add(kid)
+
+        # temporal consistency groups (:182-241)
+        enough: List[int] = []
+        new_groups: List[tuple] = []
+        group_used = [False] * len(self.consistent_groups)
+        for kid in retained:
+            cand_kf = self.map.keyframes[kid]
+            group = set(cand_kf.connections) | {kid}
+            consistent_any = False
+            enough_this = False
+            for gi, (prev_group, count) in enumerate(self.consistent_groups):
+                if group & prev_group:
+                    consistent_any = True
+                    if not group_used[gi]:
+                        new_groups.append((group, count + 1))
+                        group_used[gi] = True
+                    if count + 1 >= lp.covisibility_consistency_th and not enough_this:
+                        enough.append(kid)
+                        enough_this = True
+            if not consistent_any:
+                new_groups.append((group, 0))
+        self.consistent_groups = new_groups
+        self.db.append(kf.kf_id)
+        return enough
+
+    # ----------------------------------------------------------- compute sim3
+
+    def _kf_matched_arrays(self, kf: KeyFrame):
+        """Rows (kp idx, pid) of the KF's observed keypoints."""
+        rows, pids = [], []
+        for i, pid in enumerate(kf.mp_ids):
+            if pid < 0:
+                continue
+            mp = self.map.get_point(int(pid))
+            if mp is not None and not mp.bad:
+                rows.append(i)
+                pids.append(mp.pid)
+        return rows, pids
+
+    def _compute_sim3(self, kf: KeyFrame, candidates: List[int]):
+        import jax.numpy as jnp
+
+        from sp_orb_slam_tpu.ops import matching
+
+        K_intr = self.k.K_intr
+        rows1, pids1 = self._kf_matched_arrays(kf)
+        if len(rows1) < 20:
+            return None
+        desc1 = kf.data.desc_host[rows1]
+        for kid in candidates:
+            cand = self.map.keyframes.get(kid)
+            if cand is None or cand.bad:
+                continue
+            rows2, pids2 = self._kf_matched_arrays(cand)
+            if len(rows2) < 20:
+                continue
+            desc2 = cand.data.desc_host[rows2]
+            # mutual-NN brute force (loop variant, sp_matcher_loop.cpp:334)
+            m = np.asarray(matching.search_by_brute_force(
+                jnp.asarray(desc2), jnp.ones(len(rows2), bool),
+                jnp.asarray(desc1), jnp.ones(len(rows1), bool)))
+            pairs = [(i1, int(m[i1])) for i1 in range(len(rows1)) if m[i1] >= 0]
+            if len(pairs) < 20:
+                continue
+            # camera-frame 3D points of the matched map points in each KF
+            X1 = np.stack([self.map.pool.pos[pids1[i1]] for i1, _ in pairs])
+            X2 = np.stack([self.map.pool.pos[pids2[i2]] for _, i2 in pairs])
+            X1c = X1 @ kf.Tcw[:3, :3].T + kf.Tcw[:3, 3]
+            X2c = X2 @ cand.Tcw[:3, :3].T + cand.Tcw[:3, 3]
+            uv1 = kf.data.uv[[rows1[i1] for i1, _ in pairs]]
+            uv2 = cand.data.uv[[rows2[i2] for _, i2 in pairs]]
+            self._key, sub = jax.random.split(self._key)
+            res = s3.sim3_ransac(
+                jnp.asarray(X1c), jnp.asarray(X2c), jnp.asarray(uv1),
+                jnp.asarray(uv2), jnp.ones(len(pairs), bool), K_intr, sub)
+            if not bool(res.ok):
+                continue
+            # refine S21 = Sim3 cand <- current... convention: ransac aligns
+            # X1c (current cam) -> X2c (cand cam), i.e. S_cand,cur.  The
+            # reference's Scm maps candidate(m) -> current(c); invert.
+            R, t, s_, inlier, n_inl = s3.optimize_sim3(
+                res.R, res.t, res.s, jnp.asarray(X1c), jnp.asarray(X2c),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(kf.data.cov2_inv[[rows1[i1] for i1, _ in pairs]]),
+                jnp.asarray(cand.data.cov2_inv[[rows2[i2] for _, i2 in pairs]]),
+                res.inliers, K_intr)
+            if int(n_inl) < 20:
+                continue
+            S_cand_cur = _np_sim3(R, t, s_)
+            S_cur_cand = _sim3_inv_np(S_cand_cur)
+            # Scw = Scm * Smw (:437-441), m = matched/candidate KF
+            Smw = (cand.Tcw[:3, :3].astype(np.float64),
+                   cand.Tcw[:3, 3].astype(np.float64), 1.0)
+            Scw = _sim3_mul_np(S_cur_cand, Smw)
+
+            # project the loop neighborhood's map points into the current KF
+            loop_pids = []
+            seen = set()
+            for nk in cand.best_covisible(200) + [cand.kf_id]:
+                nkf = self.map.keyframes.get(nk)
+                if nkf is None or nkf.bad:
+                    continue
+                for pid in nkf.mp_ids:
+                    if pid >= 0 and pid not in seen:
+                        mp = self.map.get_point(int(pid))
+                        if mp is not None and not mp.bad:
+                            seen.add(int(pid))
+                            loop_pids.append(mp.pid)
+            matches = self._project_match(kf, Scw, loop_pids, radius=10.0)
+            n_total = sum(1 for v in matches.values())
+            if n_total >= 40:
+                return cand.kf_id, Scw, (matches, loop_pids)
+        return None
+
+    def _project_match(self, kf: KeyFrame, Scw, pids: List[int],
+                       radius: float) -> Dict[int, int]:
+        """SearchByProjectionLoop (sp_matcher_loop.cpp:222-332): project map
+        points through Scw into the current KF, best descriptor within the
+        window at TH_LOW.  Returns {kp_idx: pid}."""
+        import jax.numpy as jnp
+
+        from sp_orb_slam_tpu.ops import matching
+
+        if not pids:
+            return {}
+        pool = self.map.pool
+        idx = np.asarray(pids, np.int64)
+        Xc = _sim3_apply_np(Scw, pool.pos[idx].astype(np.float64))
+        z = Xc[:, 2]
+        ok = z > 0
+        K = np.asarray(self.k.K_intr)
+        u = K[0] * Xc[:, 0] / np.where(ok, z, 1.0) + K[2]
+        v = K[1] * Xc[:, 1] / np.where(ok, z, 1.0) + K[3]
+        cam = self.cfg.camera
+        ok &= (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        proj = np.stack([u, v], -1).astype(np.float32)
+        dist = matching.pairwise_dist(
+            jnp.asarray(pool.desc[idx]), kf.data.desc_dev)
+        du = np.abs(kf.data.uv[None, :, 0] - proj[:, None, 0])
+        dv = np.abs(kf.data.uv[None, :, 1] - proj[:, None, 1])
+        mask = ((du < radius) & (dv < radius) & ok[:, None]
+                & kf.data.valid[None, :])
+        d = np.where(mask, np.asarray(dist), 1e9)
+        best_kp = d.argmin(axis=1)
+        best_d = d.min(axis=1)
+        matches: Dict[int, int] = {}
+        order = np.argsort(best_d)
+        used = set()
+        for pi in order:
+            if best_d[pi] > matching.TH_LOW:
+                break
+            kp = int(best_kp[pi])
+            if kp in used:
+                continue
+            used.add(kp)
+            matches[kp] = pids[pi]
+        return matches
+
+    # ------------------------------------------------------------- correction
+
+    def _correct_loop(self, kf: KeyFrame, matched_kf_id: int, Scw,
+                      hit) -> None:
+        matches, loop_pids = hit
+        world = self.map
+        self.mapper.abort_ba = True
+        world.update_connections(kf)
+
+        connected = [kf.kf_id] + [k for k in kf.connections
+                                  if not world.keyframes[k].bad]
+        Twc = np.linalg.inv(kf.Tcw).astype(np.float64)
+
+        corrected: Dict[int, tuple] = {kf.kf_id: Scw}
+        non_corrected: Dict[int, tuple] = {}
+        for kid in connected:
+            kfi = world.keyframes[kid]
+            Tiw = kfi.Tcw.astype(np.float64)
+            Siw = (Tiw[:3, :3], Tiw[:3, 3], 1.0)
+            non_corrected[kid] = Siw
+            if kid != kf.kf_id:
+                Tic = Tiw @ Twc
+                Sic = (Tic[:3, :3], Tic[:3, 3], 1.0)
+                corrected[kid] = _sim3_mul_np(Sic, Scw)
+
+        # remap points of the current neighborhood + set corrected poses
+        remapped: Set[int] = set()
+        for kid, Siw_corr in corrected.items():
+            kfi = world.keyframes[kid]
+            Swi_corr = _sim3_inv_np(Siw_corr)
+            Siw_old = non_corrected[kid]
+            for pid in kfi.mp_ids:
+                if pid < 0 or pid in remapped:
+                    continue
+                mp = world.get_point(int(pid))
+                if mp is None or mp.bad:
+                    continue
+                remapped.add(int(pid))
+                P = world.pool.pos[mp.pid].astype(np.float64)
+                world.pool.pos[mp.pid] = _sim3_apply_np(
+                    Swi_corr, _sim3_apply_np(Siw_old, P)).astype(np.float32)
+                world.update_normal_and_depth(mp)
+            R, t, s_ = Siw_corr
+            Tcorr = np.eye(4, dtype=np.float32)
+            Tcorr[:3, :3] = R
+            Tcorr[:3, 3] = (np.asarray(t) / s_)
+            kfi.set_pose(Tcorr)
+            world.update_connections(kfi)
+
+        # fuse the matched loop points into the current KF (:625-639)
+        for kp_idx, pid in matches.items():
+            loop_mp = world.get_point(pid)
+            if loop_mp is None or loop_mp.bad:
+                continue
+            cur_pid = int(kf.mp_ids[kp_idx])
+            if cur_pid >= 0:
+                cur_mp = world.get_point(cur_pid)
+                if cur_mp is not None and not cur_mp.bad and cur_mp.pid != loop_mp.pid:
+                    world.replace_point(cur_mp, loop_mp)
+            else:
+                world.add_observation(loop_mp, kf.kf_id, kp_idx)
+                world.compute_distinctive_descriptor(loop_mp)
+
+        # SearchAndFuse: project loop points into every corrected KF (:701-726)
+        for kid in corrected:
+            kfi = world.keyframes[kid]
+            m2 = self._project_match(kfi, corrected[kid], loop_pids, radius=4.0)
+            for kp_idx, pid in m2.items():
+                loop_mp = world.get_point(pid)
+                if loop_mp is None or loop_mp.bad:
+                    continue
+                cur_pid = int(kfi.mp_ids[kp_idx])
+                if cur_pid >= 0 and cur_pid != loop_mp.pid:
+                    cur_mp = world.get_point(cur_pid)
+                    if cur_mp is not None and not cur_mp.bad:
+                        world.replace_point(cur_mp, loop_mp)
+                elif cur_pid < 0:
+                    world.add_observation(loop_mp, kfi.kf_id, kp_idx)
+            world.update_connections(kfi)
+
+        # new cross-loop covisibility links
+        loop_connections: Dict[int, Set[int]] = {}
+        for kid in connected:
+            kfi = world.keyframes[kid]
+            prev = set(kfi.ordered_neighbors)
+            world.update_connections(kfi)
+            loop_connections[kid] = (set(kfi.connections) - prev
+                                     - set(connected))
+
+        self._essential_graph(kf, matched_kf_id, corrected, non_corrected,
+                              loop_connections)
+
+        kf.loop_edges.add(matched_kf_id)
+        world.keyframes[matched_kf_id].loop_edges.add(kf.kf_id)
+
+        run_global_ba(world, self.k, iters=10)
+        self.last_loop_kf = kf.kf_id
+        self.n_loops_closed += 1
+
+    def _essential_graph(self, kf: KeyFrame, matched_kf_id: int,
+                         corrected: Dict[int, tuple],
+                         non_corrected: Dict[int, tuple],
+                         loop_connections: Dict[int, Set[int]]) -> None:
+        """OptimizeEssentialGraph (optimizer.cpp:776-1060).
+
+        Node initialization uses the corrected Sim3 where available;
+        spanning-tree/covisibility edge *measurements* use the
+        non-corrected (pre-loop) poses — the odometry chain is the
+        measurement, and the optimizer distributes the loop correction
+        along it (optimizer.cpp: NonCorrectedSim3 edge terms).  Loop
+        connections measure from the corrected poses that created them."""
+        import jax.numpy as jnp
+
+        world = self.map
+        kfs = sorted(k for k, v in world.keyframes.items() if not v.bad)
+        index = {k: i for i, k in enumerate(kfs)}
+        N = len(kfs)
+
+        xi = np.zeros((N, 7), np.float32)
+        old_sim3: Dict[int, tuple] = {}   # node init (corrected if present)
+        meas_sim3: Dict[int, tuple] = {}  # edge-measurement source
+        for k, i in index.items():
+            kfi = world.keyframes[k]
+            T = kfi.Tcw.astype(np.float64)
+            S_pose = (T[:3, :3], T[:3, 3], 1.0)
+            S = corrected.get(k, S_pose)
+            old_sim3[k] = S
+            meas_sim3[k] = non_corrected.get(k, S_pose)
+            xi[i] = np.asarray(s3.sim3_log(
+                jnp.asarray(S[0], jnp.float32), jnp.asarray(S[1], jnp.float32),
+                jnp.asarray(np.float32(S[2]))))
+
+        edges = []   # (i, j, meas_xi)
+        added = set()
+
+        def add_edge(ki, kj, Sji):
+            key = (min(ki, kj), max(ki, kj))
+            if key in added or ki not in index or kj not in index:
+                return
+            added.add(key)
+            edges.append((index[ki], index[kj], np.asarray(s3.sim3_log(
+                jnp.asarray(Sji[0], jnp.float32),
+                jnp.asarray(Sji[1], jnp.float32),
+                jnp.asarray(np.float32(Sji[2]))))))
+
+        def measured(ki, kj, source):
+            Si = source[ki]
+            Sj = source[kj]
+            return _sim3_mul_np(Sj, _sim3_inv_np(Si))
+
+        # loop-closure connections (weight handled implicitly: the new links
+        # were produced by fusion; reference gates at minFeat 100 except the
+        # primary pair)
+        for ki, conns in loop_connections.items():
+            for kj in conns:
+                w = world.keyframes[ki].connections.get(kj, 0)
+                if w >= 100 or (ki == kf.kf_id and kj == matched_kf_id):
+                    add_edge(ki, kj, measured(ki, kj, old_sim3))
+        add_edge(kf.kf_id, matched_kf_id,
+                 measured(kf.kf_id, matched_kf_id, old_sim3))
+        # spanning tree + loop edges + strong covisibility: measured from the
+        # pre-correction odometry
+        for k in kfs:
+            kfi = world.keyframes[k]
+            if kfi.parent >= 0 and kfi.parent in index:
+                add_edge(k, kfi.parent, measured(k, kfi.parent, meas_sim3))
+            for le in kfi.loop_edges:
+                add_edge(k, le, measured(k, le, meas_sim3))
+            for kj, w in kfi.connections.items():
+                if w >= 100:
+                    add_edge(k, kj, measured(k, kj, meas_sim3))
+
+        if not edges:
+            return
+        E = len(edges)
+        ei = jnp.asarray([e[0] for e in edges], jnp.int32)
+        ej = jnp.asarray([e[1] for e in edges], jnp.int32)
+        meas = jnp.asarray(np.stack([e[2] for e in edges]), jnp.float32)
+        valid = jnp.ones(E, bool)
+        fixed = np.zeros(N, bool)
+        fixed[index[matched_kf_id]] = True  # loop KF fixed (optimizer.cpp:826)
+
+        out = np.asarray(s3.optimize_pose_graph(
+            jnp.asarray(xi), jnp.asarray(fixed), ei, ej, meas, valid,
+            iters=20))
+
+        # write back: poses [R t/s] and point remap through the old Sim3
+        remapped: Set[int] = set()
+        for k, i in index.items():
+            kfi = world.keyframes[k]
+            R, t, s_ = s3.sim3_exp(jnp.asarray(out[i]))
+            Rn = np.asarray(R, np.float64)
+            tn = np.asarray(t, np.float64)
+            sn = float(s_)
+            S_new = (Rn, tn, sn)
+            S_old = old_sim3[k]
+            # remap this KF's points: X <- S_new^-1 (S_old X)
+            for pid in kfi.mp_ids:
+                if pid < 0 or pid in remapped:
+                    continue
+                mp = world.get_point(int(pid))
+                if mp is None or mp.bad:
+                    continue
+                remapped.add(int(pid))
+                P = world.pool.pos[mp.pid].astype(np.float64)
+                world.pool.pos[mp.pid] = _sim3_apply_np(
+                    _sim3_inv_np(S_new), _sim3_apply_np(S_old, P)).astype(np.float32)
+                world.update_normal_and_depth(mp)
+            Tn = np.eye(4, dtype=np.float32)
+            Tn[:3, :3] = Rn
+            Tn[:3, 3] = tn / sn
+            kfi.set_pose(Tn)

@@ -115,7 +115,7 @@ class KeyFrame:
         self.loop_edges: set = set()
         self.first_connection = True
         # loop-closing bookkeeping
-        self.global_desc: Optional[np.ndarray] = None
+        self.global_desc: Optional[np.ndarray] = frame.global_desc
         self.ba_local_for = -1
         self.ba_fixed_for = -1
         self.fuse_target_for = -1

@@ -51,13 +51,49 @@ class System:
         self.kernels = TrackingKernels(cfg)
         self.mapper = LocalMapping(cfg, self.map, self.kernels)
         self.tracker = Tracking(cfg, self.map, self.kernels, self.mapper)
+        self.looper = None
+        if cfg.use_loop:
+            from sp_orb_slam_tpu.slam.loop_closing import LoopClosing
+
+            self.looper = LoopClosing(cfg, self.map, self.kernels, self.mapper)
+            self.mapper.looper = self.looper
         self.frame_id = 0
         self._extract = None
+        self._preprocess = None
         if params is not None:
             from sp_orb_slam_tpu.extractor import make_extractor
 
             self._extract = make_extractor(cfg, params)
+            self._preprocess = self._build_preprocess()
         self.timer = Timer()
+
+    def _build_preprocess(self):
+        """On-device rectification when the raw stream is distorted (the
+        reference pre-rectifies EuRoC with initUndistortRectifyMap + remap,
+        data_loader.cc:470-489,517-527)."""
+        import jax
+        import jax.numpy as jnp
+
+        from sp_orb_slam_tpu.geometry import camera as cam_ops
+        from sp_orb_slam_tpu.io.dataset import EurocDataset
+
+        cam = self.cfg.camera
+        dist = np.array([cam.k1, cam.k2, cam.p1, cam.p2, cam.k3], np.float32)
+        if not np.any(dist):
+            return None
+        K_new = jnp.array([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
+        if self.cfg.dataset.startswith("euroc"):
+            K_raw = jnp.asarray(EurocDataset.RAW_K)
+        else:
+            K_raw = K_new
+        grid = cam_ops.rectify_map(K_new, K_raw, jnp.asarray(dist),
+                                   cam.height, cam.width)
+
+        @jax.jit
+        def run(img):
+            return cam_ops.bilinear_remap(img, grid)
+
+        return run
 
     # ------------------------------------------------------------ frame feed
 
@@ -72,6 +108,7 @@ class System:
             response=inj["score"], valid=inj["valid"],
             cov2_inv=inj["cov2_inv"], occ_grid=inj["occ_grid"],
             count=inj["count"],
+            global_desc=raw.global_desc,
             desc_dev=jnp.asarray(inj["desc"]),
             dust_dev=jnp.asarray(inj["dust"]),
             occ_grid_dev=jnp.asarray(inj["occ_grid"]),
@@ -88,9 +125,14 @@ class System:
         # crop to the configured size (system.cpp:160-161)
         H, W = self.cfg.camera.height, self.cfg.camera.width
         img = img[:H, :W]
-        feats = self._extract(jnp.asarray(img[None]))
+        dev = jnp.asarray(img)
+        if self._preprocess is not None:
+            dev = self._preprocess(dev)
+        feats = self._extract(dev[None])
         host = self.kernels.fetch_features_host(feats)
-        return frame_from_features(feats, 0, self.frame_id, raw.timestamp, host)
+        f = frame_from_features(feats, 0, self.frame_id, raw.timestamp, host)
+        f.global_desc = raw.global_desc
+        return f
 
     def process(self, raw: RawFrame) -> None:
         with self.timer.span("tracking/frame"):
@@ -106,6 +148,9 @@ class System:
         if not self.cfg.online:
             with self.timer.span("mapping"):
                 self.mapper.spin_once()
+            if self.looper is not None:
+                with self.timer.span("loop"):
+                    self.looper.spin_once()
         self.frame_id += 1
 
     def spin(self, dataset=None, max_frames: Optional[int] = None) -> None:
