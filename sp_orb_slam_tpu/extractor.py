@@ -44,6 +44,7 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             max_keypoints: int, conf_thresh: float = 0.007,
             nms_dist: int = 4, border: int = 8, nms_iters: int = 16,
             cov_radius: int = 8, cov_iters: int = 16,
+            cov_method: str = "windowed",
             compute_dtype=jnp.float32) -> Features:
     """images: (B, H, W) float32 in [0, 1]."""
     B, H, W = images.shape
@@ -60,9 +61,15 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
         out.coarse_desc, kps.uv)
     desc = jnp.where(kps.valid[..., None], desc, 0.0)
 
-    cov2, cov2_inv, response = jax.vmap(
-        partial(cov_ops.keypoint_covariance, radius=cov_radius, iters=cov_iters)
-    )(out.heat_inv, kps.uv, kps.valid)
+    if cov_method == "dense":
+        cov2, cov2_inv, response = jax.vmap(
+            partial(cov_ops.dense_covariance, iters=cov_iters)
+        )(out.heat_inv, kps.occ_grid, kps.uv, kps.valid)
+    else:
+        cov2, cov2_inv, response = jax.vmap(
+            partial(cov_ops.keypoint_covariance, radius=cov_radius,
+                    iters=cov_iters)
+        )(out.heat_inv, kps.uv, kps.valid)
 
     return Features(kps.uv, kps.score, response, kps.valid, desc, cov2,
                     cov2_inv, kps.occ_grid, out.dense_dust, out.semi_dust,
@@ -83,6 +90,7 @@ def make_extractor(cfg: Config, params):
             conf_thresh=ex.conf_thresh, nms_dist=ex.nms_dist,
             border=ex.border, nms_iters=ex.nms_iters,
             cov_radius=ex.cov_window, cov_iters=ex.cov_iters,
+            cov_method=ex.cov_method,
             compute_dtype=dtype)
 
     return run

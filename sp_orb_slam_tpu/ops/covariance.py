@@ -99,6 +99,125 @@ def keypoint_covariance(heat_inv: jnp.ndarray, uv: jnp.ndarray,
     return cov2, 1.0 / cov2, jnp.where(valid, response, 0.0)
 
 
+def dense_covariance(heat_inv: jnp.ndarray, occ_grid: jnp.ndarray,
+                     uv: jnp.ndarray, valid: jnp.ndarray, *,
+                     cell: int = 8, iters: int = 16):
+    """Dense-ownership formulation of the covariance flood fill.
+
+    Instead of per-keypoint windows (dominated by a ~23 ms gather on TPU),
+    propagate a basin-ownership *label image* over the full heat map with
+    aligned shift ops, then reduce the weighted moments per keypoint with
+    5x5-cell masked block sums (keypoints live one-per-cell in `occ_grid`).
+
+    Semantics deviation from the per-keypoint BFS (documented): pixels on
+    the boundary between two basins are counted for exactly one keypoint
+    (first-come) instead of both; such pixels carry the smallest weights.
+
+    heat_inv (H, W); occ_grid (hc, wc) int; uv (K, 2); valid (K,).
+    Returns (cov2 (K, 2), cov2_inv (K, 2), response (K,)).
+    """
+    H, W = heat_inv.shape
+    hc, wc = occ_grid.shape
+    K = uv.shape[0]
+
+    u_kp = jnp.clip(uv[:, 0].astype(jnp.int32), 0, W - 1)
+    v_kp = jnp.clip(uv[:, 1].astype(jnp.int32), 0, H - 1)
+    response = jnp.where(valid, heat_inv[v_kp, u_kp], 0.0)
+
+    # seed the label image at keypoint pixels with the *flat cell index*
+    # (occ_grid maps it back to the keypoint slot)
+    cell_of_kp = ((v_kp // cell) * wc + u_kp // cell).astype(jnp.int32)
+    label = jnp.full((H, W), -1, jnp.int32)
+    label = label.at[jnp.where(valid, v_kp, 0),
+                     jnp.where(valid, u_kp, 0)].set(
+        jnp.where(valid, cell_of_kp, -1), mode="drop")
+
+    pos = heat_inv > 0.0
+
+    # pad once; neighbor views are static slices (rolls are gathers on TPU)
+    def nview(x_pad, dv, du):
+        return jax.lax.dynamic_slice(x_pad, (1 + dv, 1 + du), (H, W))
+
+    heat_pad = jnp.pad(heat_inv, 1, constant_values=-jnp.inf)
+    n_heat = {d: nview(heat_pad, *d)
+              for d in ((1, 0), (-1, 0), (0, 1), (0, -1))}
+
+    def body(_, L):
+        L_pad = jnp.pad(L, 1, constant_values=-1)
+        for d in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nL = nview(L_pad, *d)
+            take = (L < 0) & (nL >= 0) & (heat_inv < n_heat[d]) & pos
+            L = jnp.where(take, nL, L)
+            L_pad = jnp.pad(L, 1, constant_values=-1)
+        return L
+
+    label = jax.lax.fori_loop(0, iters, body, label)
+
+    # Per-pixel owner-offset code o in [0, 25): the owner cell sits at
+    # (dcv, dcu) = owner - own_cell with |d| <= 2 (16 propagation steps).
+    r = 2
+    side = 2 * r + 1
+    own_cell = ((jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) // cell) * wc
+                + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) // cell)
+    dcell = jnp.where(label >= 0, label - own_cell, 10 ** 6)
+    # decompose dcell = dcv * wc + dcu with dcu in [-wc/2, wc/2)
+    dcv = jnp.where(label >= 0,
+                    jnp.floor_divide(dcell + wc // 2, wc), 10 ** 6)
+    dcu = dcell - dcv * wc
+    in_range = (label >= 0) & (jnp.abs(dcv) <= r) & (jnp.abs(dcu) <= r)
+    code = jnp.where(in_range, (dcv + r) * side + (dcu + r), side * side)
+
+    # weighted moments in *cell-local* coordinates (absolute-pixel moments
+    # cancel catastrophically in float32): [w, w*lu, w*lu2, w*lv, w*lv2]
+    uu = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) % cell
+    vv = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) % cell
+    w = heat_inv
+    quant = jnp.stack([w, w * uu, w * uu * uu, w * vv, w * vv * vv])  # (5,H,W)
+
+    # one-hot block contraction: per cell, the 5 moments split by offset
+    # code — one small matmul per block instead of 25 full-res passes
+    n_codes = side * side + 1
+    onehot = jax.nn.one_hot(code, n_codes, dtype=jnp.float32)  # (H, W, 26)
+    q_blk = quant.reshape(5, hc, cell, wc, cell)
+    o_blk = onehot.reshape(hc, cell, wc, cell, n_codes)
+    contrib = jnp.einsum("qhawb,hawbo->qhwo", q_blk, o_blk)  # (5, hc, wc, 26)
+
+    acc = jnp.zeros((5, hc, wc), jnp.float32)
+    for dv_ in range(-r, r + 1):
+        for du_ in range(-r, r + 1):
+            o = (dv_ + r) * side + (du_ + r)
+            # pixels with code o in cell c contribute to cell c + (dv_, du_);
+            # roll the small (5, hc, wc) slab accordingly
+            m = jnp.roll(contrib[..., o], shift=(dv_, du_), axis=(1, 2))
+            # their local coords relative to the target cell's origin
+            ou = jnp.float32(-du_ * cell)
+            ov = jnp.float32(-dv_ * cell)
+            acc = acc + jnp.stack([
+                m[0],
+                m[1] + ou * m[0],
+                m[2] + 2.0 * ou * m[1] + ou * ou * m[0],
+                m[3] + ov * m[0],
+                m[4] + 2.0 * ov * m[3] + ov * ov * m[0],
+            ])
+
+    # per-keypoint sums via the keypoint's own cell (coords relative to the
+    # cell origin keep everything O(cell * r) — no cancellation)
+    cy = cell_of_kp // wc
+    cx = cell_of_kp % wc
+    s_w = jnp.maximum(acc[0, cy, cx], 1e-12)
+    s_u = acc[1, cy, cx]
+    s_u2 = acc[2, cy, cx]
+    s_v = acc[3, cy, cx]
+    s_v2 = acc[4, cy, cx]
+    uf = uv[:, 0] - (cx * cell).astype(jnp.float32)
+    vf = uv[:, 1] - (cy * cell).astype(jnp.float32)
+    cov_x = s_u2 / s_w - 2.0 * uf * s_u / s_w + uf * uf
+    cov_y = s_v2 / s_w - 2.0 * vf * s_v / s_w + vf * vf
+    cov2 = jnp.stack([jnp.maximum(cov_x, 1.0), jnp.maximum(cov_y, 1.0)], -1)
+    cov2 = jnp.where(valid[:, None], cov2, 1.0)
+    return cov2, 1.0 / cov2, response
+
+
 def covariance_reference(heat_inv, uv, valid, radius=None):
     """Sequential numpy golden model of the reference BFS (single-count
     variant), used in tests.  With `radius` set, the fill is restricted to

@@ -196,3 +196,37 @@ def test_extract_end_to_end(params, images):
         d = np.asarray(feats.desc[b, :n])
         np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
         assert (np.asarray(feats.cov2[b]) >= 1.0).all()
+
+
+def test_dense_covariance_matches_windowed():
+    """The dense label-propagation covariance agrees with the per-keypoint
+    windowed fill on peaked maps (exact responses; covariances differ only
+    through exclusive basin ownership at boundaries)."""
+    rng = np.random.default_rng(11)
+    h, w, cell = 96, 128, 8
+    hc, wc = h // cell, w // cell
+    inner = [r * wc + c for r in range(2, hc - 2) for c in range(2, wc - 2)]
+    n_kp = 30
+    cells = rng.choice(inner, n_kp, replace=False)
+    uv = np.stack([(cells % wc) * 8 + rng.integers(2, 6, n_kp),
+                   (cells // wc) * 8 + rng.integers(2, 6, n_kp)],
+                  -1).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    heat = rng.random((h, w)).astype(np.float32) * 0.05
+    for (u, v) in uv:
+        heat += np.exp(-((xx - u) ** 2 + (yy - v) ** 2) / 6.0).astype(np.float32)
+    heat /= heat.max()
+    occ = np.full((hc, wc), -1, np.int32)
+    for k, (u, v) in enumerate(uv):
+        occ[int(v) // 8, int(u) // 8] = k
+    valid = np.ones(n_kp, bool)
+    c_win, _, r_win = cov_ops.keypoint_covariance(
+        jnp.asarray(heat), jnp.asarray(uv), jnp.asarray(valid),
+        radius=8, iters=16)
+    c_den, _, r_den = cov_ops.dense_covariance(
+        jnp.asarray(heat), jnp.asarray(occ), jnp.asarray(uv),
+        jnp.asarray(valid), iters=16)
+    np.testing.assert_allclose(np.asarray(r_den), np.asarray(r_win), atol=1e-6)
+    rel = np.abs(np.asarray(c_den) - np.asarray(c_win)) / np.asarray(c_win)
+    assert np.median(rel) < 0.1, np.median(rel)
+    assert (np.asarray(c_den) >= 1.0).all()
