@@ -283,6 +283,50 @@ class SyntheticDataset:
         return ts, self.poses
 
 
+class ExportDataset:
+    """Precomputed-feature injection from disk — capability parity with the
+    reference's DataloaderEuRoCExport / DataloaderKITTIExport
+    (data_loader.cc:87-179), which load offline SuperPoint features, dust
+    maps and NetVLAD global descriptors instead of running the extractor.
+
+    Layout: <root>/frames/%06d.npz with keys uv (K, 2), desc (K, 256),
+    valid (K,), occ_grid (hc, wc), dust (hc, wc), cov2_inv (K, 2),
+    score (K,) and optionally global_desc (D,); plus timestamps.txt
+    (one float per line).  `save_frame` writes that format.
+    """
+
+    def __init__(self, root: str):
+        import glob
+
+        self.paths = sorted(glob.glob(os.path.join(root, "frames", "*.npz")))
+        ts_file = os.path.join(root, "timestamps.txt")
+        if os.path.exists(ts_file):
+            self.timestamps = [float(x) for x in open(ts_file)]
+        else:
+            self.timestamps = [i / 20.0 for i in range(len(self.paths))]
+
+    @staticmethod
+    def save_frame(root: str, index: int, injected: dict,
+                   global_desc=None) -> None:
+        os.makedirs(os.path.join(root, "frames"), exist_ok=True)
+        data = dict(injected)
+        if global_desc is not None:
+            data["global_desc"] = global_desc
+        np.savez(os.path.join(root, "frames", f"{index:06d}.npz"), **data)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __iter__(self) -> Iterator[RawFrame]:
+        for i, path in enumerate(self.paths):
+            with np.load(path) as z:
+                inj = {k: z[k] for k in z.files if k != "global_desc"}
+                gd = z["global_desc"] if "global_desc" in z.files else None
+            inj["count"] = int(inj["valid"].sum())
+            yield RawFrame(timestamp=self.timestamps[i], injected=inj,
+                           global_desc=gd)
+
+
 def make_dataset(cfg: Config):
     name = cfg.dataset.lower()
     if name.startswith("euroc"):
@@ -292,4 +336,7 @@ def make_dataset(cfg: Config):
                               if cfg.seq else cfg.data_path)
     if name.startswith("synthetic"):
         return SyntheticDataset(cfg)
+    if name.endswith("export") or name == "export":
+        return ExportDataset(os.path.join(cfg.data_path, cfg.seq)
+                             if cfg.seq else cfg.data_path)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")

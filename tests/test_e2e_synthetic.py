@@ -62,3 +62,32 @@ def test_synthetic_vo_end_to_end(small_cfg):
         assert data.shape[1] == 8
         sys_.save_keyframe_trajectory_tum(os.path.join(d, "kf.txt"))
         sys_.save_trajectory_kitti(os.path.join(d, "kitti.txt"))
+
+
+def test_export_dataset_roundtrip(small_cfg, tmp_path):
+    """ExportDataset (the reference Export-loader equivalent): synthetic
+    frames saved to disk and replayed produce an identical pipeline run."""
+    from sp_orb_slam_tpu.io.dataset import ExportDataset
+
+    ds = SyntheticDataset(small_cfg, n_frames=8, n_points=4000, seed=6,
+                          pixel_noise=0.3)
+    root = str(tmp_path / "export")
+    ts = []
+    for i, raw in enumerate(ds):
+        ExportDataset.save_frame(root, i, raw.injected, raw.global_desc)
+        ts.append(raw.timestamp)
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "timestamps.txt"), "w") as f:
+        f.write("\n".join(str(t) for t in ts))
+
+    replay = ExportDataset(root)
+    assert len(replay) == 8
+    sys_a = System(small_cfg)
+    sys_a.spin(ds, max_frames=8)
+    sys_b = System(small_cfg)
+    sys_b.spin(replay)
+    ra, rb = sys_a.report(), sys_b.report()
+    assert ra["n_keyframes"] == rb["n_keyframes"]
+    assert ra["n_points"] == rb["n_points"]
