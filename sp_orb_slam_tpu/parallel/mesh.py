@@ -28,6 +28,12 @@ from sp_orb_slam_tpu.optim import pose as pose_opt
 def make_mesh(n_devices: Optional[int] = None, axis: str = "stream") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        # the accelerator fleet is smaller than requested (e.g. one chip via
+        # the axon tunnel): fall back to the virtual CPU device fleet
+        devs = jax.devices("cpu")
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
     return Mesh(np.array(devs[:n]), (axis,))
 
 
