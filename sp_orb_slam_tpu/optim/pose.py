@@ -270,3 +270,68 @@ def pose_optimization_dust(Tcw0: jnp.ndarray, Xw: jnp.ndarray,
     inlier = valid & alive & ok & (chi2 <= chi2_inlier)
     return DustResult(Tcw, inlier, jnp.sum(inlier.astype(jnp.int32)),
                       jnp.stack([u, v], axis=-1))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pose_optimization_heat(Tcw0: jnp.ndarray, Xw: jnp.ndarray,
+                           valid: jnp.ndarray, heat: jnp.ndarray,
+                           K_full: jnp.ndarray, *, iters: int = 40,
+                           huber_delta: float = 0.9,
+                           chi2_inlier: float = 0.02) -> DustResult:
+    """Optimizer::PoseOptimizationHeat (optimizer_dust.cpp:415-522): the
+    retained experimental full-resolution variant of the dust alignment —
+    same direct-alignment machinery on the normalized heat map with
+    full-resolution intrinsics and the 0.02 chi2 inlier gate."""
+    h, w = heat.shape
+    fx, fy, cx, cy = K_full[0], K_full[1], K_full[2], K_full[3]
+
+    def in_image(u, v, border=1.0):
+        return (u >= border) & (u + border + 1 < w) & (v >= border) & (v + border + 1 < h)
+
+    def evaluate(Tcw, alive):
+        pc = Xw @ Tcw[:3, :3].T + Tcw[:3, 3]
+        z = pc[:, 2]
+        u = fx * pc[:, 0] / z + cx
+        v = fy * pc[:, 1] / z + cy
+        ok = alive & (z > 0.0) & in_image(u, v)
+        err = jnp.where(ok, _sample_bilinear(heat, u, v), 0.0)
+        return err, u, v, pc, ok
+
+    def system(Tcw, alive):
+        err, u, v, pc, ok = evaluate(Tcw, alive)
+        chi2 = err * err
+        w_rob = jnp.where(ok, lm.huber_weight(chi2, huber_delta), 0.0)
+        gu = (_sample_bilinear(heat, u + 1.0, v) - _sample_bilinear(heat, u - 1.0, v)) / 2.0
+        gv = (_sample_bilinear(heat, u, v + 1.0) - _sample_bilinear(heat, u, v - 1.0)) / 2.0
+        Jp = _proj_jacobian(pc, fx, fy)
+        J = gu[:, None] * Jp[:, 0, :] + gv[:, None] * Jp[:, 1, :]
+        H = jnp.einsum("na,n,nb->ab", J, w_rob, J)
+        b = -jnp.einsum("na,n->a", J, w_rob * err)
+        cost = jnp.sum(jnp.where(ok, lm.huber_rho(chi2, huber_delta), 0.0))
+        return H, b, cost, ok
+
+    H0, b0, cost0, alive0 = system(Tcw0, valid)
+    lam0 = lm.lm_init_lambda(H0)
+
+    def body(_, state):
+        Tcw, alive, lam, nu, cost = state
+        H, b, _, ok = system(Tcw, alive)
+        alive = alive & ok
+        dx = lm.solve_damped(H, b, lam)
+        T_new = se3.se3_exp(dx) @ Tcw
+        _, _, cost_new, ok_new = system(T_new, alive)
+        rho = lm.gain_ratio(cost, cost_new, dx, b, lam)
+        accept = (cost_new < cost) & jnp.isfinite(cost_new)
+        lam, nu = lm.lm_update(accept, rho, lam, nu)
+        Tcw = jnp.where(accept, T_new, Tcw)
+        alive = jnp.where(accept, alive & ok_new, alive)
+        cost = jnp.where(accept, cost_new, cost)
+        return Tcw, alive, lam, nu, cost
+
+    Tcw, alive, _, _, _ = jax.lax.fori_loop(
+        0, iters, body, (Tcw0, alive0, lam0, jnp.float32(2.0), cost0))
+    err, u, v, _, ok = evaluate(Tcw, alive)
+    chi2 = err * err
+    inlier = valid & alive & ok & (chi2 <= chi2_inlier)
+    return DustResult(Tcw, inlier, jnp.sum(inlier.astype(jnp.int32)),
+                      jnp.stack([u, v], axis=-1))

@@ -232,6 +232,18 @@ class System:
             for Twc in poses:
                 f.write(" ".join(f"{x:.9e}" for x in Twc[:3].ravel()) + "\n")
 
+    def save_trajectory_euroc(self, path: str) -> None:
+        """SaveTrajectoryEuroc (system_helper.cpp): nanosecond timestamps +
+        position + (w, x, y, z) quaternion, comma-separated."""
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        ts, poses = self.trajectory()
+        with open(path, "w") as f:
+            for t, Twc in zip(ts, poses):
+                q = _rotmat_to_quat(Twc[:3, :3])
+                p = Twc[:3, 3]
+                f.write(f"{int(t * 1e9)},{p[0]:.7f},{p[1]:.7f},{p[2]:.7f},"
+                        f"{q[3]:.7f},{q[0]:.7f},{q[1]:.7f},{q[2]:.7f}\n")
+
     def report(self) -> dict:
         rep = self.tracker.report()
         rep.update(n_keyframes=self.map.n_keyframes(),
