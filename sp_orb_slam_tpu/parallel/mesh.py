@@ -25,10 +25,15 @@ from sp_orb_slam_tpu.ops import matching
 from sp_orb_slam_tpu.optim import pose as pose_opt
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "stream") -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: Optional[int] = None, axis: str = "stream",
+              platform: Optional[str] = None) -> Mesh:
+    """Build a 1-D stream mesh.  `platform` pins the device fleet (e.g.
+    "cpu" for the driver's virtual-device dry run — the accelerator client
+    over the axon tunnel may be a single chip or version-mismatched, so the
+    caller must be able to avoid it entirely)."""
+    devs = jax.devices(platform) if platform else jax.devices()
     n = n_devices or len(devs)
-    if len(devs) < n:
+    if len(devs) < n and platform is None:
         # the accelerator fleet is smaller than requested (e.g. one chip via
         # the axon tunnel): fall back to the virtual CPU device fleet
         devs = jax.devices("cpu")

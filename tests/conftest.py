@@ -23,7 +23,11 @@ import jax
 
 jax.config.update("jax_platform_name", "cpu")
 try:  # reset any backend a plugin already initialized
-    jax.clear_backends()
+    from jax.extend.backend import clear_backends
+except Exception:  # pre-0.4.x spelling (removed from the jax namespace)
+    clear_backends = getattr(jax, "clear_backends", lambda: None)
+try:
+    clear_backends()
 except Exception:
     pass
 assert jax.default_backend() == "cpu", jax.default_backend()
