@@ -133,17 +133,34 @@ def run_global_ba(world: Map, kernels: TrackingKernels, iters: int = 20,
 
 
 class LocalMapping:
+    """Two drive modes, like the reference (selected at system.cpp:94-97,
+    176-178): `spin_once` runs the pipeline synchronously after each frame
+    (deterministic offline mode), `start`/`run` spins it on its own thread
+    with the stop/accept/interruptBA protocol (local_mapper.h:42-56,
+    local_mapper.cpp:129-229).  Thread safety: the map-wide
+    `map.update_lock` serializes every map-mutating stage against tracking;
+    the KF queue is a deque mutated only by GIL-atomic append/popleft, so no
+    second lock exists (no lock-order hazard).  The local-BA device solve
+    runs *outside* the map lock — tracking proceeds during the solve, and
+    the result is discarded when a new KF interrupted it (mbAbortBA
+    semantics, optimizer.cpp:660-671)."""
+
     def __init__(self, cfg: Config, world: Map, kernels: TrackingKernels):
+        import collections
+
         self.cfg = cfg
         self.map = world
         self.k = kernels
-        self.queue: List[int] = []
+        self.queue = collections.deque()
         self.recent_pids: List[int] = []
         self.stopped = False
+        self.stop_requested = False
         self.accepting = True
         self.abort_ba = False
         self.current_kf: Optional[KeyFrame] = None
         self.looper = None  # set by System when use_loop
+        self._thread = None
+        self._shutdown = False
 
     # ------------------------------------------------------------------ API
 
@@ -154,27 +171,120 @@ class LocalMapping:
     def interrupt_ba(self) -> None:
         self.abort_ba = True
 
-    def spin_once(self) -> None:
-        """local_mapper.cpp:47-127 (deterministic offline drive mode)."""
-        while self.queue:
-            kf_id = self.queue.pop(0)
+    # stop/accept protocol (RequestStop/isStopped/Release,
+    # local_mapper.cpp:~300; used by loop correction to freeze mapping)
+    def request_stop(self) -> None:
+        self.stop_requested = True
+        self.abort_ba = True
+        if self._thread is None:
+            self.stopped = True  # offline: no thread to reach the check
+
+    def release(self) -> None:
+        self.stop_requested = False
+        self.stopped = False
+
+    def wait_until_stopped(self, timeout: float = 10.0) -> bool:
+        import time
+
+        t0 = time.monotonic()
+        while not self.stopped:
+            if self._thread is None or time.monotonic() - t0 > timeout:
+                return self.stopped
+            time.sleep(1e-3)
+        return True
+
+    # ----------------------------------------------------------- drive modes
+
+    def _pop_keyframe(self) -> Optional[KeyFrame]:
+        while True:
+            try:
+                kf_id = self.queue.popleft()
+            except IndexError:
+                return None
             kf = self.map.keyframes.get(kf_id)
-            if kf is None or kf.bad:
-                continue
-            self.current_kf = kf
+            if kf is not None and not kf.bad:
+                return kf
+
+    def _pipeline(self, kf: KeyFrame, *, online: bool) -> None:
+        """One keyframe through the full mapping pipeline
+        (local_mapper.cpp:47-127 offline / :129-229 online — same stages)."""
+        lock = self.map.update_lock
+        self.current_kf = kf
+        with lock:
             self.process_new_keyframe(kf)
             self.map_point_culling(kf)
             self.create_new_map_points(kf)
-            if not self.queue:
+        if not self.queue:
+            with lock:
                 self.search_in_neighbors(kf)
-            self.abort_ba = False
-            if not self.queue and not self.stopped:
-                if self.map.n_keyframes() > 2:
-                    self.local_bundle_adjustment(kf)
-                if self.cfg.mapping.culling_kf:
+        self.abort_ba = False
+        if not self.queue and not (self.stopped or self.stop_requested):
+            if self.map.n_keyframes() > 2:
+                self.local_bundle_adjustment(kf)
+            if self.cfg.mapping.culling_kf:
+                with lock:
                     self.keyframe_culling(kf)
-            if self.looper is not None:
-                self.looper.insert_keyframe(kf.kf_id)
+        if self.looper is not None:
+            self.looper.insert_keyframe(kf.kf_id)
+
+    def spin_once(self) -> None:
+        """local_mapper.cpp:47-127 (deterministic offline drive mode)."""
+        if self.stopped:
+            return
+        while True:
+            kf = self._pop_keyframe()
+            if kf is None:
+                return
+            self._pipeline(kf, online=False)
+
+    def start(self) -> None:
+        """Spawn the backend thread (online mode; system.cpp:94-97)."""
+        import threading
+
+        if self._thread is not None:
+            return
+        self._shutdown = False
+        self._thread = threading.Thread(target=self.run, name="local_mapping",
+                                        daemon=True)
+        self._thread.start()
+
+    def run(self) -> None:
+        """LocalMapping::Run (local_mapper.cpp:129-229)."""
+        import time
+
+        while not self._shutdown:
+            if self.stop_requested:
+                self.stopped = True
+                time.sleep(1e-3)
+                continue
+            self.stopped = False
+            kf = self._pop_keyframe()
+            if kf is None:
+                self.accepting = True
+                time.sleep(1e-3)
+                continue
+            self.accepting = False
+            self._pipeline(kf, online=True)
+            if not self.queue:
+                self.accepting = True
+
+    def drain(self, timeout: float = 60.0) -> None:
+        """Block until the queue is empty and the thread is idle."""
+        import time
+
+        t0 = time.monotonic()
+        while (self.queue or not self.accepting) and not self.stopped:
+            if time.monotonic() - t0 > timeout:
+                return
+            time.sleep(1e-3)
+
+    def shutdown(self) -> None:
+        if self._thread is None:
+            return
+        self.drain()
+        self._shutdown = True
+        self._thread.join(timeout=30.0)
+        self._thread = None
 
     # ------------------------------------------------------------- pipeline
 
@@ -381,16 +491,24 @@ class LocalMapping:
             fixed = [oldest]
         caps = (rt.ba_kfs_cap, rt.ba_points_cap, rt.ba_obs_cap)
         try:
-            packed = _assemble_ba(self.map, local, fixed, pids, caps)
+            with self.map.update_lock:
+                packed = _assemble_ba(self.map, local, fixed, pids, caps)
         except ValueError:
             return
         (poses, fixd, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
          obs_valid, kf_index, pt_index, obs_ref, dropped) = packed
+        # The device solve runs with the map lock RELEASED so online tracking
+        # is never blocked behind BA; mbAbortBA semantics (optimizer.cpp:
+        # 510-511,660-671): if a new keyframe interrupted the solve, discard
+        # the result instead of writing back a stale optimum.
         res = ba_mod.bundle_adjust(
             poses, fixd, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
             obs_valid, self.k.K_intr, iters1=5, iters2=10, two_phase=True,
             robust=True)
-        _writeback_ba(self.map, res, kf_index, pt_index, obs_ref, fixd)
+        if self.abort_ba:
+            return
+        with self.map.update_lock:
+            _writeback_ba(self.map, res, kf_index, pt_index, obs_ref, fixd)
 
     def keyframe_culling(self, kf: KeyFrame) -> None:
         """KeyFrameCullingOverride (local_mapper.cpp:979-1032): repeatedly

@@ -57,16 +57,20 @@ def _sim3_apply_np(S, X):
 class LoopClosing:
     def __init__(self, cfg: Config, world: Map, kernels: TrackingKernels,
                  mapper: LocalMapping):
+        import collections
+
         self.cfg = cfg
         self.map = world
         self.k = kernels
         self.mapper = mapper
-        self.queue: List[int] = []
+        self.queue = collections.deque()
         self.db: List[int] = []           # keyframe ids with global descs
         self.consistent_groups: List[tuple] = []  # (set(kf_ids), count)
         self.last_loop_kf = -10 ** 9
         self.n_loops_closed = 0
         self._key = jax.random.PRNGKey(271828)
+        self._thread = None
+        self._shutdown = False
 
     def insert_keyframe(self, kf_id: int) -> None:
         self.queue.append(kf_id)
@@ -74,19 +78,54 @@ class LoopClosing:
     # ------------------------------------------------------------------ spin
 
     def spin_once(self) -> None:
-        while self.queue:
-            kf_id = self.queue.pop(0)
+        while True:
+            try:
+                kf_id = self.queue.popleft()
+            except IndexError:
+                return
             kf = self.map.keyframes.get(kf_id)
             if kf is None or kf.bad or kf.global_desc is None:
                 continue
-            candidates = self._detect(kf)
-            if not candidates:
-                continue
-            hit = self._compute_sim3(kf, candidates)
+            # detection + Sim3 read the covisibility graph and the point
+            # pool — hold the map lock vs concurrent mapper surgery (the
+            # reference relies on per-object mutexes here; we have one big
+            # lock, and loop closure is rare enough that the latency spike
+            # does not matter)
+            with self.map.update_lock:
+                candidates = self._detect(kf)
+                hit = self._compute_sim3(kf, candidates) if candidates else None
             if hit is None:
                 continue
             matched_kf, Scw, matches = hit
             self._correct_loop(kf, matched_kf, Scw, matches)
+
+    # ------------------------------------------------------------ thread drive
+
+    def start(self) -> None:
+        """Own-thread drive (LoopClosingVLAD::Run, loop_closer_vlad.cpp:
+        289-325; spawned at system.cpp:100-106)."""
+        import threading
+
+        if self._thread is not None:
+            return
+        self._shutdown = False
+        self._thread = threading.Thread(target=self.run, name="loop_closing",
+                                        daemon=True)
+        self._thread.start()
+
+    def run(self) -> None:
+        import time
+
+        while not self._shutdown:
+            self.spin_once()
+            time.sleep(1e-3)
+
+    def shutdown(self) -> None:
+        if self._thread is None:
+            return
+        self._shutdown = True
+        self._thread.join(timeout=30.0)
+        self._thread = None
 
     # ---------------------------------------------------------------- detect
 
@@ -299,9 +338,21 @@ class LoopClosing:
 
     def _correct_loop(self, kf: KeyFrame, matched_kf_id: int, Scw,
                       hit) -> None:
+        # CorrectLoop (loop_closer_vlad.cpp:504-699): freeze the mapper
+        # (RequestStop + kill any running BA, :511-529), do the map surgery
+        # under the map-update lock (:543-639), then release the mapper.
+        self.mapper.request_stop()
+        self.mapper.wait_until_stopped()
+        try:
+            with self.map.update_lock:
+                self._correct_loop_locked(kf, matched_kf_id, Scw, hit)
+        finally:
+            self.mapper.release()
+
+    def _correct_loop_locked(self, kf: KeyFrame, matched_kf_id: int, Scw,
+                             hit) -> None:
         matches, loop_pids = hit
         world = self.map
-        self.mapper.abort_ba = True
         world.update_connections(kf)
 
         connected = [kf.kf_id] + [k for k in kf.connections

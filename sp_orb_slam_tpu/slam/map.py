@@ -139,11 +139,17 @@ class Map:
     """Global map: keyframes + map points + the pools."""
 
     def __init__(self, mp_capacity: int = 65536):
+        import threading
+
         self.pool = MapPointPool(mp_capacity)
         self.points: Dict[int, MapPoint] = {}
         self.keyframes: Dict[int, KeyFrame] = {}
         self.next_kf_id = 0
         self.kf_origin: int = -1
+        # the big map-update lock serializing tracking vs mapping vs loop
+        # correction in online mode (mMutexMapUpdate, map.h:70-74;
+        # tracker.cpp:189, optimizer.cpp:740, loop_closer_vlad.cpp:545)
+        self.update_lock = threading.RLock()
 
     # -- map points ---------------------------------------------------------
 

@@ -135,6 +135,8 @@ class System:
         return f
 
     def process(self, raw: RawFrame) -> None:
+        if self.cfg.online:
+            self.start_threads()
         with self.timer.span("tracking/frame"):
             if raw.injected is not None:
                 frame = self._frame_from_injected(raw)
@@ -153,6 +155,28 @@ class System:
                     self.looper.spin_once()
         self.frame_id += 1
 
+    def start_threads(self) -> None:
+        """Online mode: mapping (and loop closing) run on their own threads
+        (system.cpp:92-115); tracking stays on the caller's thread."""
+        self.mapper.start()
+        if self.looper is not None:
+            self.looper.start()
+
+    def shutdown(self) -> None:
+        """Drain the pipeline and join backend threads
+        (System::Shutdown, system_helper.cpp:59-87)."""
+        self.mapper.drain()
+        if self.looper is not None:
+            while self.looper.queue:
+                if self.looper._thread is None:
+                    self.looper.spin_once()
+                    break
+                import time
+
+                time.sleep(1e-3)
+            self.looper.shutdown()
+        self.mapper.shutdown()
+
     def spin(self, dataset=None, max_frames: Optional[int] = None) -> None:
         if dataset is None:
             dataset = make_dataset(self.cfg)
@@ -160,18 +184,28 @@ class System:
             if max_frames is not None and i >= max_frames:
                 break
             self.process(raw)
+        if self.cfg.online:
+            self.shutdown()
 
     def reset(self) -> None:
         """System::resetSystem (system_helper.cpp:12-52)."""
-        self.map.clear()
-        self.mapper.queue.clear()
-        self.mapper.recent_pids.clear()
-        tr = self.tracker
-        self.tracker = Tracking(self.cfg, self.map, self.kernels, self.mapper)
-        self.tracker.rel_poses = tr.rel_poses
-        self.tracker.refs = tr.refs
-        self.tracker.times = tr.times
-        self.tracker.lost_flags = tr.lost_flags
+        online = self.mapper._thread is not None
+        if online:  # freeze the mapping thread before clearing under it
+            self.mapper.request_stop()
+            self.mapper.wait_until_stopped()
+        with self.map.update_lock:
+            self.map.clear()
+            self.mapper.queue.clear()
+            self.mapper.recent_pids.clear()
+            tr = self.tracker
+            self.tracker = Tracking(self.cfg, self.map, self.kernels,
+                                    self.mapper)
+            self.tracker.rel_poses = tr.rel_poses
+            self.tracker.refs = tr.refs
+            self.tracker.times = tr.times
+            self.tracker.lost_flags = tr.lost_flags
+        if online:
+            self.mapper.release()
 
     # ------------------------------------------------------------ trajectory
 

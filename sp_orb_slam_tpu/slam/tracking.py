@@ -67,16 +67,19 @@ class Tracking:
     # ------------------------------------------------------------------ API
 
     def track_frame(self, frame: FrameData) -> None:
-        if self.state == NO_IMAGES_YET:
-            self.state = NOT_INITIALIZED
-        if self.state == NOT_INITIALIZED:
-            self._initialization(frame)
-            if self.state == OK:
-                self.velocity = np.eye(4, dtype=np.float32)
+        # whole-frame map-update critical section (tracker.cpp:189): in
+        # online mode this serializes against the mapping thread's stages
+        with self.map.update_lock:
+            if self.state == NO_IMAGES_YET:
+                self.state = NOT_INITIALIZED
+            if self.state == NOT_INITIALIZED:
+                self._initialization(frame)
+                if self.state == OK:
+                    self.velocity = np.eye(4, dtype=np.float32)
+                self._record_trajectory(frame)
+                return
+            self._track(frame)
             self._record_trajectory(frame)
-            return
-        self._track(frame)
-        self._record_trajectory(frame)
 
     # --------------------------------------------------------- initialization
 
