@@ -125,9 +125,11 @@ class ExtractorConfig:
     nms_iters: int = 16        # fixed-point iterations of the TPU NMS
     cov_window: int = 8        # flood-fill window radius for covariance
     cov_iters: int = 16        # propagation iterations of the TPU flood fill
-    cov_method: str = "windowed"  # "windowed" (per-keypoint, closest to the
-    #                               reference BFS; faster on current XLA) or
-    #                               "dense" (label-propagation ownership)
+    cov_method: str = "auto"   # "auto" = "pallas" on TPU, "windowed" else;
+    #                            "pallas" (fused kernel, ~2-3x faster than
+    #                            XLA), "windowed" (per-keypoint XLA, closest
+    #                            to the reference BFS semantics), or "dense"
+    #                            (label-propagation ownership)
     dtype: str = "float32"     # compute dtype of the conv net ("bfloat16" for speed)
 
 

@@ -44,7 +44,7 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             max_keypoints: int, conf_thresh: float = 0.007,
             nms_dist: int = 4, border: int = 8, nms_iters: int = 16,
             cov_radius: int = 8, cov_iters: int = 16,
-            cov_method: str = "windowed",
+            cov_method: str = "auto",
             compute_dtype=jnp.float32) -> Features:
     """images: (B, H, W) float32 in [0, 1]."""
     B, H, W = images.shape
@@ -61,7 +61,16 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
         out.coarse_desc, kps.uv)
     desc = jnp.where(kps.valid[..., None], desc, 0.0)
 
-    if cov_method == "dense":
+    if cov_method == "auto":
+        cov_method = ("pallas" if jax.default_backend() == "tpu"
+                      else "windowed")
+    if cov_method == "pallas":
+        from sp_orb_slam_tpu.ops import pallas_cov
+
+        cov2, cov2_inv, response = pallas_cov.pallas_covariance(
+            out.heat_inv, kps.uv, kps.valid, radius=cov_radius,
+            iters=cov_iters)
+    elif cov_method == "dense":
         cov2, cov2_inv, response = jax.vmap(
             partial(cov_ops.dense_covariance, iters=cov_iters)
         )(out.heat_inv, kps.occ_grid, kps.uv, kps.valid)

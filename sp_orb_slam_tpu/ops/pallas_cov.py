@@ -1,21 +1,37 @@
 """Pallas TPU kernel for the per-keypoint covariance flood fill.
 
-Same algorithm as ops/covariance.keypoint_covariance (windowed monotone-
-descent fill), but the window extraction and all fill iterations happen in
-VMEM inside one kernel: the XLA version spends ~12 ms/batch in the window
-gather + un-fused fill ops; here the heat map is VMEM-resident and windows
-are register copies.
+Same semantics as ops/covariance.keypoint_covariance (windowed monotone-
+descent fill; reference BFS at src/cv/sp_extractor.cpp:252-340), but the
+whole stage — window extraction, fill iterations, moment reduction — runs in
+one kernel with VMEM-resident data.  The XLA version is gather-bound: the
+per-keypoint dynamic_slice windows cost ~10 ms/batch (the fill itself is
+~2.6 ms), and every XLA re-layout alternative (take / transpose /
+scalar-gather) measured 30-160 ms on v5e.
 
-Layout: keypoints ride the lane axis in chunks of 128; windows live in a
-(size, size, 128) VMEM scratch.
+Mosaic constraints that shaped this kernel (each one found the hard way):
+- dynamic *lane* stores (win[..., pl.ds(k, 1)]) crash the compiler
+  (round-1 kernel);
+- DMA slices of VMEM refs must be tile-aligned (shape multiple of 8
+  sublanes), which a 17-row window violates;
+- vector loads allow dynamic offsets, but the sublane offset must be
+  provably a multiple of 8.
 
-STATUS (round 1): numerically exact vs the XLA windowed implementation in
-interpret mode, but the axon *remote* mosaic compiler crashes with an
-opaque HTTP 500 on this kernel (tpu_compile_helper exit 1 — no stderr is
-surfaced through the tunnel).  Wire-up into the extractor is deferred until
-the kernel can be compiled (or the helper's logs become visible); the
-suspected trigger is the per-keypoint dynamic window store
-win_ref[1:1+size, 1:1+size, pl.ds(k, 1)].
+Resulting design:
+- windows live in a (KHI, 24, 512) f32 scratch: 512 lanes = 16 keypoints x
+  32 columns, so every VPU op runs lane-dense;
+- keypoint k of a chunk maps to (khi, klo) = (k // 16, k % 16); a 24-row
+  patch is vector-loaded from heat at the 8-aligned row v0a = 8*floor(v0/8)
+  and stored at a *static* lane offset (klo is a python unroll);
+- the window's vertical position inside the 24-row patch varies per
+  keypoint: the center row index rides a per-lane int32 input (crow), and
+  all row masks/moment offsets are computed against it;
+- column neighbors come from single-lane rolls; lanes 17..31 of each group
+  stay -inf so rolls cannot leak between keypoints;
+- per-group moment sums run on the MXU against a constant 0/1 selection
+  matrix, with the f32 operand split into three exact bf16 limbs, so the
+  reduction is exact up to f32 summation rounding;
+- the kernel emits (4, nchunk, KHI, 16) moment slabs; the (tiny) reshape to
+  (4, K) happens in XLA where it is free.
 """
 
 from __future__ import annotations
@@ -27,95 +43,168 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 128
+GROUP = 32      # lanes per keypoint (window cols live in [0, size))
+KPG = 16        # keypoints per lane-slab (512 lanes total)
+LANES = GROUP * KPG
+PATCH_ROWS = 24  # 8-aligned load covering a 17-row window at any v0 % 8
 
 
-def _cov_kernel(uv_ref, heat_ref, out_ref, win_ref, reach_ref, *, radius,
-                iters, K):
+def _cov_kernel(vu_ref, heat_ref, crow_ref, out_ref, win_ref, *, radius,
+                iters, chunk, khi_n):
     size = 2 * radius + 1
-    buf = 24  # aligned guard buffer; window occupies [1:1+size, 1:1+size]
-    n_chunks = K // LANES
-    H, W = heat_ref.shape
+    H, W = heat_ref.shape[1], heat_ref.shape[2]
+    c = pl.program_id(1)
 
-    def chunk_body(c, _):
-        win_ref[:, :, :] = jnp.full((buf, buf, LANES), -jnp.inf, jnp.float32)
+    neg = jnp.float32(-jnp.inf)
+    win_ref[:, :, :] = jnp.full((khi_n, PATCH_ROWS, LANES), neg, jnp.float32)
 
-        def load_one(k, __):
-            u = uv_ref[c * LANES + k, 0]
-            v = uv_ref[c * LANES + k, 1]
-            u0 = jnp.clip(u - radius, 0, W - size)
-            v0 = jnp.clip(v - radius, 0, H - size)
-            win_ref[1:1 + size, 1:1 + size, pl.ds(k, 1)] = heat_ref[
-                pl.ds(v0, size), pl.ds(u0, size)].reshape(size, size, 1)
-            return 0
-
-        jax.lax.fori_loop(0, LANES, load_one, 0)
-
-        win = win_ref[:, :, :]
-        pos = (win > 0.0).astype(jnp.float32)
-        n_vals = [win_ref[1 + dv:1 + dv + size, 1 + du:1 + du + size, :]
-                  for dv, du in ((1, 0), (-1, 0), (0, 1), (0, -1))]
-        wc_ = win_ref[1:1 + size, 1:1 + size, :]
-        pos_c = (wc_ > 0.0).astype(jnp.float32)
-
-        rid = jax.lax.broadcasted_iota(jnp.int32, (buf, buf, LANES), 0)
-        cid = jax.lax.broadcasted_iota(jnp.int32, (buf, buf, LANES), 1)
-        reach_ref[:, :, :] = ((rid == radius + 1)
-                              & (cid == radius + 1)).astype(jnp.float32)
-
-        def fill(_, __):
-            grow = jnp.zeros((size, size, LANES), jnp.float32)
-            for nv, (dv, du) in zip(n_vals,
-                                    ((1, 0), (-1, 0), (0, 1), (0, -1))):
-                nr = reach_ref[1 + dv:1 + dv + size, 1 + du:1 + du + size, :]
-                grow = jnp.maximum(grow, nr * (wc_ < nv).astype(jnp.float32))
-            reach_ref[1:1 + size, 1:1 + size, :] = jnp.maximum(
-                reach_ref[1:1 + size, 1:1 + size, :], grow * pos_c)
-            return 0
-
-        jax.lax.fori_loop(0, iters, fill, 0)
-        reach_c = reach_ref[1:1 + size, 1:1 + size, :]
-
-        dy = (jax.lax.broadcasted_iota(jnp.int32, (size, size, LANES), 0)
-              - radius).astype(jnp.float32)
-        dx = (jax.lax.broadcasted_iota(jnp.int32, (size, size, LANES), 1)
-              - radius).astype(jnp.float32)
-        w = reach_c * jnp.maximum(wc_, 0.0)
-        wsum = jnp.maximum(jnp.sum(w, axis=(0, 1)), 1e-12)
-        cov_x = jnp.maximum(jnp.sum(w * dx * dx, axis=(0, 1)) / wsum, 1.0)
-        cov_y = jnp.maximum(jnp.sum(w * dy * dy, axis=(0, 1)) / wsum, 1.0)
-        out_ref[0, pl.ds(c * LANES, LANES)] = cov_x
-        out_ref[1, pl.ds(c * LANES, LANES)] = cov_y
-        out_ref[2, pl.ds(c * LANES, LANES)] = wc_[radius, radius, :]
+    def load_slab(khi, _):
+        for klo in range(KPG):  # python unroll: static lane offsets
+            kk = c * chunk + khi * KPG + klo
+            # offsets are aligned by construction (dynamic vector-load
+            # offsets must be 8-aligned in sublanes, 128-aligned in lanes);
+            # Mosaic needs the proofs as hints
+            u0a = pl.multiple_of(vu_ref[0, 0, kk], 128)
+            v0a = pl.multiple_of(vu_ref[0, 1, kk], 8)
+            su = vu_ref[0, 2, kk]  # window col offset within the 256 lanes
+            patch = heat_ref[0, pl.ds(v0a, PATCH_ROWS), pl.ds(u0a, 256)]
+            # compact the window to the lane front with a dynamic rotate
+            # (value-level dynamic_slice is unimplemented in Pallas TPU)
+            w = pltpu.roll(patch, (256 - su) % 256, 1)[:, :size]
+            win_ref[khi, :, klo * GROUP:klo * GROUP + size] = w
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, khi_n, load_slab, 0)
+
+    win = win_ref[:, :, :]
+    crow = crow_ref[0, 0, :, :]  # (khi_n, LANES) center row per lane
+
+    rid = jax.lax.broadcasted_iota(jnp.int32, (khi_n, PATCH_ROWS, LANES), 1)
+    cid = jax.lax.broadcasted_iota(jnp.int32, (khi_n, PATCH_ROWS, LANES), 2)
+    col = jnp.bitwise_and(cid, GROUP - 1)   # column within the lane group
+    drow = rid - crow[:, None, :]
+    center = (drow == 0) & (col == radius)
+    in_rows = (drow >= -radius) & (drow <= radius)
+
+    pos = ((win > 0.0) & in_rows).astype(jnp.float32)
+    reach0 = jnp.where(center, 1.0, 0.0).astype(jnp.float32)
+
+    def body(_, reach):
+        grow = jnp.zeros_like(reach)
+        for dv in (-1, 1):
+            # neighbor at row r+dv: shift rows by -dv with a -inf boundary
+            nv = jnp.concatenate(
+                [win[:, 1:, :], jnp.full((khi_n, 1, LANES), neg)]
+                if dv == 1 else
+                [jnp.full((khi_n, 1, LANES), neg), win[:, :-1, :]], axis=1)
+            nr = jnp.concatenate(
+                [reach[:, 1:, :], jnp.zeros((khi_n, 1, LANES), jnp.float32)]
+                if dv == 1 else
+                [jnp.zeros((khi_n, 1, LANES), jnp.float32), reach[:, :-1, :]],
+                axis=1)
+            grow = jnp.maximum(grow, nr * (win < nv).astype(jnp.float32))
+        for du in (-1, 1):
+            sh = (-du) % LANES  # out[l] = x[l + du] (roll wants shift >= 0)
+            nv = pltpu.roll(win, sh, 2)
+            nr = pltpu.roll(reach, sh, 2)
+            # rolls wrap across lane groups, but lanes >= size hold -inf and
+            # zero reach, so wrapped-in values can never grow the fill
+            grow = jnp.maximum(grow, nr * (win < nv).astype(jnp.float32))
+        return jnp.maximum(reach, grow * pos)
+
+    reach = jax.lax.fori_loop(0, iters, body, reach0)
+
+    # moments: [wsum, sum w*dx^2, sum w*dy^2, response]
+    w = reach * jnp.maximum(win, 0.0)
+    dx = (col - radius).astype(jnp.float32)
+    dy = drow.astype(jnp.float32)
+    m0 = jnp.sum(w, axis=1)                    # (khi_n, LANES)
+    m1 = jnp.sum(w * dx * dx, axis=1)
+    m2 = jnp.sum(w * dy * dy, axis=1)
+    m3 = jnp.sum(jnp.where(center, win, 0.0), axis=1)
+    m = jnp.concatenate([m0, m1, m2, m3], axis=0)  # (4*khi_n, LANES)
+
+    # exact group reduction on the MXU: split f32 into three bf16 limbs and
+    # contract each against the 0/1 group-selection matrix
+    gsel = (jax.lax.broadcasted_iota(jnp.int32, (LANES, KPG), 0) // GROUP
+            == jax.lax.broadcasted_iota(jnp.int32, (LANES, KPG), 1)
+            ).astype(jnp.bfloat16)
+    hi = m.astype(jnp.bfloat16)
+    r1 = m - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = (jnp.dot(hi, gsel, preferred_element_type=jnp.float32)
+           + jnp.dot(mid, gsel, preferred_element_type=jnp.float32)
+           + jnp.dot(lo, gsel, preferred_element_type=jnp.float32))
+    out_ref[0, :, 0, :, :] = acc.reshape(4, khi_n, KPG)
 
 
 @partial(jax.jit, static_argnames=("radius", "iters"))
 def pallas_covariance(heat_inv: jnp.ndarray, uv: jnp.ndarray,
                       valid: jnp.ndarray, *, radius: int = 8,
                       iters: int = 16):
-    """(cov2, cov2_inv, response) for one image via the Pallas kernel.
+    """(cov2, cov2_inv, response) for a batch of images.
 
-    heat_inv (H, W); uv (K, 2) with K a multiple of 128; valid (K,).
+    heat_inv (B, H, W) f32; uv (B, K, 2) float with K % 16 == 0;
+    valid (B, K) bool.  Matches ops/covariance.keypoint_covariance.
     """
-    K = uv.shape[0]
-    assert K % LANES == 0
+    B, H, W = heat_inv.shape
+    K = uv.shape[1]
+    assert K % KPG == 0
     size = 2 * radius + 1
-    uv_i = uv.astype(jnp.int32)
+    assert size <= GROUP and size <= PATCH_ROWS - 7
 
+    # keypoints per grid step: the largest divisor of K that is <= 512 and
+    # a multiple of KPG (always exists since K % KPG == 0)
+    chunk = next(c for c in range(min(KPG * 32, K), 0, -KPG)
+                 if K % c == 0)
+    khi_n = chunk // KPG
+    nchunk = K // chunk
+
+    u0 = jnp.clip(uv[..., 0].astype(jnp.int32) - radius, 0, W - size)
+    v0 = jnp.clip(uv[..., 1].astype(jnp.int32) - radius, 0, H - size)
+    v0a = jnp.clip((v0 // 8) * 8, 0, H - PATCH_ROWS)
+    u0a = (u0 // 128) * 128      # lane-aligned block start; block size 256
+    su = u0 - u0a                # window col offset within the block
+    crow = v0 - v0a + radius     # center row within the 24-row patch
+    # minor dim = K: an SMEM block shaped (1, K, 3) pads 3 -> 128
+    # lanes and double-buffers to ~1 MB, blowing the 1 MB SMEM budget
+    vu = jnp.stack([u0a, v0a, su], axis=1)  # (B, 3, K) int32
+    # pad the lane dim so the (24, 256) aligned block always exists
+    Wp = (W // 128) * 128 + 256
+    heat_p = jnp.pad(heat_inv, ((0, 0), (0, 0), (0, Wp - W)))
+    # lane l = klo*GROUP + col of slab khi holds keypoint khi*KPG + klo
+    crow_lane = jnp.repeat(
+        crow.reshape(B, nchunk, khi_n, KPG), GROUP, axis=-1)  # (..., LANES)
+
+    grid = (B, nchunk)
     out = pl.pallas_call(
-        partial(_cov_kernel, radius=radius, iters=iters, K=K),
-        out_shape=jax.ShapeDtypeStruct((3, K), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((24, 24, LANES), jnp.float32),
-                        pltpu.VMEM((24, 24, LANES), jnp.float32)],
-    )(uv_i, heat_inv)
+        partial(_cov_kernel, radius=radius, iters=iters, chunk=chunk,
+                khi_n=khi_n),
+        out_shape=jax.ShapeDtypeStruct((B, 4, nchunk, khi_n, KPG),
+                                       jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, K), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, H, Wp), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, khi_n, LANES), lambda b, c: (b, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, 1, khi_n, KPG),
+                               lambda b, c: (b, 0, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((khi_n, PATCH_ROWS, LANES), jnp.float32),
+        ],
+    )(vu, heat_p, crow_lane)
 
-    cov2 = jnp.stack([out[0], out[1]], axis=-1)
-    cov2 = jnp.where(valid[:, None], jnp.maximum(cov2, 1.0), 1.0)
-    resp = jnp.where(valid, out[2], 0.0)
-    return cov2, 1.0 / cov2, resp
+    m = out.reshape(B, 4, K)  # k = c*chunk + khi*KPG + klo, matching loads
+    wsum = jnp.maximum(m[:, 0], 1e-12)
+    cov_x = m[:, 1] / wsum
+    cov_y = m[:, 2] / wsum
+    resp = m[:, 3]
+    cov2 = jnp.stack([jnp.maximum(cov_x, 1.0), jnp.maximum(cov_y, 1.0)], -1)
+    cov2 = jnp.where(valid[..., None], cov2, 1.0)
+    return cov2, 1.0 / cov2, jnp.where(valid, resp, 0.0)

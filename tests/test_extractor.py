@@ -1,6 +1,8 @@
 """Extractor stack: frontend parity vs torch, NMS vs sequential greedy,
 covariance vs BFS golden model, descriptor sampling vs torch grid_sample."""
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -230,3 +232,33 @@ def test_dense_covariance_matches_windowed():
     rel = np.abs(np.asarray(c_den) - np.asarray(c_win)) / np.asarray(c_win)
     assert np.median(rel) < 0.1, np.median(rel)
     assert (np.asarray(c_den) >= 1.0).all()
+
+
+def test_pallas_covariance_matches_windowed():
+    """The fused Pallas kernel (interpret mode on CPU) is numerically
+    identical to the XLA windowed fill — which is itself golden-tested
+    against the reference BFS above."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sp_orb_slam_tpu.ops import pallas_cov
+
+    B, H, W, K = 2, 96, 128, 64
+    rng = np.random.default_rng(11)
+    heat = jnp.asarray(rng.random((B, H, W), np.float32))
+    uv = jnp.asarray(np.stack([rng.integers(8, W - 8, (B, K)),
+                               rng.integers(8, H - 8, (B, K))],
+                              -1).astype(np.float32))
+    valid = jnp.asarray(rng.random((B, K)) > 0.2)
+
+    with pltpu.force_tpu_interpret_mode():
+        c_p, ci_p, r_p = pallas_cov.pallas_covariance(
+            heat, uv, valid, radius=8, iters=16)
+    c_w, ci_w, r_w = jax.vmap(
+        partial(cov_ops.keypoint_covariance, radius=8, iters=16)
+    )(heat, uv, valid)
+    np.testing.assert_allclose(np.asarray(c_p), np.asarray(c_w),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r_p), np.asarray(r_w),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(ci_p), np.asarray(ci_w),
+                               rtol=1e-5, atol=1e-6)
