@@ -23,6 +23,7 @@ Known behavioral deviations (documented, all order-independence fixes):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -206,6 +207,127 @@ def search_for_triangulation(desc1, valid1, free1, desc2, uv2, valid2, free2,
     # unique per idx1: best-distance wins
     match21, _ = resolve_mutual(idx1, best, row_ok, desc1.shape[0])
     return match21
+
+
+def search_for_tri_by_epi(desc1, uv1, free1, desc2, uv2, free2,
+                          epipole2_uv, F12, R21, K_intr, cov2_inv2,
+                          *, th_dist: float = TH_HIGH, band: float = 8.0):
+    """SearchForTriByEpi (sp_matcher.cpp:24-181) — the `matching_method: 2`
+    triangulation matcher (dispatch at local_mapper.cpp:623-631).
+
+    Reference behavior: for each map-point-less KF1 feature, project its
+    infinite-depth ray into image 2 (p_inf), walk the epipolar segment from
+    the epipole e2 to uv = 2*p_inf - e2 with cv::LineIterator collecting
+    the 4 occ-grid cells around every line pixel, and take the best-L2
+    candidate < 0.7 among their keypoints that passes the epipole-proximity
+    (dist^2 >= 100) and covariance-scaled epipolar-line
+    (CheckDistEpipolarLine, d^2 < 3.84/min cov2_inv) gates.
+
+    TPU reformulation: the cell walk becomes a *band mask* around the
+    segment — a candidate keypoint participates iff its projection onto
+    [e2, 2*p_inf - e2] lands at parameter t in [0, 1] with half-cell
+    (8 px) longitudinal/lateral slack.  The lateral extent of the cell
+    collection is subsumed by the epipolar-line gate (~2 px at cov2 >= 1,
+    well inside the ~8 px cell band), so the band only has to bound the
+    segment.  The reference's greedy i-order uniqueness becomes
+    min-distance resolution (order-independent; same policy as every other
+    matcher in this module).
+
+    Returns match21: (N2,) index into KF1 features or -1.
+    """
+    fx, fy, cx, cy = K_intr[0], K_intr[1], K_intr[2], K_intr[3]
+    # infinite-depth projection of each KF1 feature in image 2 (:56-63)
+    x1n = jnp.stack([(uv1[:, 0] - cx) / fx, (uv1[:, 1] - cy) / fy,
+                     jnp.ones_like(uv1[:, 0])], axis=-1)  # (N1, 3)
+    ray2 = x1n @ R21.T
+    z = jnp.where(jnp.abs(ray2[:, 2]) < 1e-9, 1e-9, ray2[:, 2])
+    p_inf = jnp.stack([fx * ray2[:, 0] / z + cx,
+                       fy * ray2[:, 1] / z + cy], axis=-1)  # (N1, 2)
+    seg_end = 2.0 * p_inf - epipole2_uv[None, :]            # uv += uv - e (:62-63)
+
+    # segment-band membership of every kp2 (the cell-walk equivalent)
+    s = seg_end - epipole2_uv[None, :]                      # (N1, 2)
+    w = uv2[None, :, :] - epipole2_uv[None, None, :]        # (1, N2, 2)
+    ss = jnp.maximum(jnp.sum(s * s, axis=-1), 1e-12)        # (N1,)
+    t = (w[..., 0] * s[:, None, 0] + w[..., 1] * s[:, None, 1]) / ss[:, None]
+    lat2 = (jnp.sum(w * w, axis=-1)
+            - t * t * ss[:, None])                          # (N1, N2)
+    slack = band / jnp.sqrt(ss)
+    in_seg = ((t >= -slack[:, None]) & (t <= 1.0 + slack[:, None])
+              & (lat2 <= band * band) & (ray2[:, 2] > 0)[:, None])
+
+    # epipole proximity of the *candidate* (:125-131; scale factor 1)
+    de = uv2 - epipole2_uv[None, :]
+    far_from_epipole = jnp.sum(de * de, axis=-1) >= 100.0
+
+    # covariance-scaled epipolar-line gate (CheckDistEpipolarLine, :441-469)
+    p1 = jnp.concatenate([uv1, jnp.ones_like(uv1[:, :1])], axis=-1)
+    lines = p1 @ F12                                        # (N1, 3)
+    num = (lines[:, None, 0] * uv2[None, :, 0]
+           + lines[:, None, 1] * uv2[None, :, 1] + lines[:, None, 2])
+    den = lines[:, 0] ** 2 + lines[:, 1] ** 2
+    dsqr = num * num / jnp.maximum(den[:, None], 1e-12)
+    factor = 1.0 / jnp.maximum(jnp.min(cov2_inv2, axis=-1), 1e-12)
+    epi_ok = (den[:, None] > 0) & (dsqr < 3.84 * factor[None, :])
+
+    mask = (free1[:, None] & (free2 & far_from_epipole)[None, :]
+            & in_seg & epi_ok)
+    dist = pairwise_dist(desc1, desc2)
+    best, idx2, _ = masked_best2(dist, mask)
+    row_ok = free1 & (best < th_dist)
+    _, match21 = resolve_mutual(idx2, best, row_ok, desc2.shape[0])
+    return match21
+
+
+def _sim3_side(pos_c, valid, desc, dmin, dmax, sR, t, kp_uv, kp_desc,
+               kp_valid, K_intr, bounds, radius, th):
+    """One direction of SearchBySim3: transform map points (camera frame)
+    through the Sim3, project, gate, best-L2 window search."""
+    pc = pos_c @ sR.T + t[None, :]
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    proj = jnp.stack([K_intr[0] * pc[:, 0] / zs + K_intr[2],
+                      K_intr[1] * pc[:, 1] / zs + K_intr[3]], axis=-1)
+    dist3 = jnp.linalg.norm(pc, axis=-1)
+    ok = (valid & (z > 0)
+          & (proj[:, 0] >= bounds[0]) & (proj[:, 0] <= bounds[1])
+          & (proj[:, 1] >= bounds[2]) & (proj[:, 1] <= bounds[3])
+          & (dist3 >= dmin) & (dist3 <= dmax))
+    mask = window_mask(proj, ok, kp_uv, kp_valid, radius)
+    d = pairwise_dist(desc, kp_desc)
+    best, idx, _ = masked_best2(d, mask)
+    return jnp.where(ok & (best <= th), idx, -1)
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def search_by_sim3(mp1_pos_c1, mp1_valid, mp1_desc, mp1_dmin, mp1_dmax,
+                   kp1_uv, kp1_desc, kp1_valid,
+                   mp2_pos_c2, mp2_valid, mp2_desc, mp2_dmin, mp2_dmax,
+                   kp2_uv, kp2_desc, kp2_valid,
+                   sR21, t21, sR12, t12, K_intr, bounds,
+                   *, radius: float = 7.5):
+    """SearchBySim3Override (sp_matcher_loop.cpp:7-220): mutual Sim3
+    projection growth between two keyframes' map points.
+
+    Forward: KF1 map points (camera-1 frame) through sR21/t21 into image 2,
+    best keypoint within `radius` at L2 <= 0.7 (:52-130).  Backward: KF2
+    map points through sR12/t12 into image 1 (:132-209).  Agreement
+    (vnMatch2[vnMatch1[i1]] == i1, :211-223) happens on the host where the
+    map-point graph surgery lives.  `already matched` slots are excluded by
+    the caller via the validity masks.  PredictScale is level 0 with the
+    single-level SP pyramid, so the radius is just `th` (7.5 at the loop
+    call site, loop_closer_vlad.cpp).
+
+    Returns (match1 (N1,) -> kp2 index or -1, match2 (N2,) -> kp1 index
+    or -1).
+    """
+    m1 = _sim3_side(mp1_pos_c1, mp1_valid, mp1_desc, mp1_dmin, mp1_dmax,
+                    sR21, t21, kp2_uv, kp2_desc, kp2_valid, K_intr, bounds,
+                    radius, TH_HIGH)
+    m2 = _sim3_side(mp2_pos_c2, mp2_valid, mp2_desc, mp2_dmin, mp2_dmax,
+                    sR12, t12, kp1_uv, kp1_desc, kp1_valid, K_intr, bounds,
+                    radius, TH_HIGH)
+    return m1, m2
 
 
 def fuse_candidates(mp_desc, mp_proj_uv, mp_valid, kp_desc, kp_uv, kp_valid,

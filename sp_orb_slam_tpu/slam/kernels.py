@@ -245,9 +245,11 @@ def init_body(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc, kp2_uv,
 
 def triangulate_body(Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
                      kp2_uv, kp2_desc, kp2_cov2_inv, kp2_free, K_intr,
-                     *, nn_ratio):
+                     *, nn_ratio, method: int = 1):
     """One neighbor-KF triangulation pass (local_mapper.cpp:615-791):
-    SearchForTri (exact 2-NN + epipole + epipolar gates) -> DLT -> gates.
+    SearchForTri (method 1 = exact 2-NN + epipole + epipolar gates, the
+    FLANN equivalent; method 2 = epipolar-segment walk, SearchForTriByEpi;
+    dispatch at local_mapper.cpp:623-631) -> DLT -> gates.
 
     KF1 = current KF, KF2 = neighbor.  Returns per-KF2-keypoint matches into
     KF1 and new 3D points with their gate mask.
@@ -272,9 +274,15 @@ def triangulate_body(Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
     e2 = jnp.stack([fx * C1_in_2[0] / C1_in_2[2] + cx,
                     fy * C1_in_2[1] / C1_in_2[2] + cy])
 
-    match21 = matching.search_for_triangulation(
-        kp1_desc, kp1_free, kp1_free, kp2_desc, kp2_uv, kp2_free, kp2_free,
-        e2, F12, kp1_uv, kp2_cov2_inv, ratio=nn_ratio)
+    if method == 2:
+        R21 = R2 @ R1.T
+        match21 = matching.search_for_tri_by_epi(
+            kp1_desc, kp1_uv, kp1_free, kp2_desc, kp2_uv, kp2_free,
+            e2, F12, R21, K_intr, kp2_cov2_inv)
+    else:
+        match21 = matching.search_for_triangulation(
+            kp1_desc, kp1_free, kp1_free, kp2_desc, kp2_uv, kp2_free,
+            kp2_free, e2, F12, kp1_uv, kp2_cov2_inv, ratio=nn_ratio)
     has = match21 >= 0
     idx1 = jnp.clip(match21, 0, None)
     uv1 = kp1_uv[idx1]
@@ -417,7 +425,7 @@ class TrackingKernels:
             out = triangulate_body(
                 Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
                 kp2_uv, kp2_desc, kp2_cov2_inv, kp2_free, self.K_intr,
-                nn_ratio=0.7)
+                nn_ratio=0.7, method=cfg.mapping.matching_method)
             return self.tri_layout.pack(**out)
 
         self.fuse_layout = Layout([

@@ -30,7 +30,8 @@ import numpy as np
 from sp_orb_slam_tpu.config import Config
 from sp_orb_slam_tpu.optim import sim3 as s3
 from sp_orb_slam_tpu.slam.kernels import TrackingKernels
-from sp_orb_slam_tpu.slam.local_mapping import LocalMapping, run_global_ba
+from sp_orb_slam_tpu.slam.local_mapping import (LocalMapping, _next_pow2,
+                                                run_global_ba)
 from sp_orb_slam_tpu.slam.map import Map, KeyFrame
 
 
@@ -253,15 +254,51 @@ class LoopClosing:
                 jnp.asarray(uv2), jnp.ones(len(pairs), bool), K_intr, sub)
             if not bool(res.ok):
                 continue
+            # guided growth between RANSAC and refinement: SearchBySim3Override
+            # projects each KF's unmatched map points through the candidate
+            # Sim3 into the other image and keeps mutually-agreeing best
+            # matches (loop_closer_vlad.cpp ComputeSim3 middle step)
+            slot_pairs = [(rows1[i1], rows2[i2]) for i1, i2 in pairs]
+            grown = self._search_by_sim3(kf, cand, res, slot_pairs)
+            union = slot_pairs + grown
             # refine S21 = Sim3 cand <- current... convention: ransac aligns
             # X1c (current cam) -> X2c (cand cam), i.e. S_cand,cur.  The
             # reference's Scm maps candidate(m) -> current(c); invert.
+            # OptimizeSim3 runs on the full grown set (all BF matches + the
+            # Sim3-grown ones) and prunes by chi2 itself.
+            resolved = []
+            for a, b in union:
+                mp_a = self.map.get_point(int(kf.mp_ids[a]))
+                mp_b = self.map.get_point(int(cand.mp_ids[b]))
+                if (mp_a is not None and not mp_a.bad
+                        and mp_b is not None and not mp_b.bad):
+                    resolved.append((a, b, mp_a.pid, mp_b.pid))
+            n_u = len(resolved)
+            P = _next_pow2(max(n_u, 32))
+            s1 = np.asarray([r[0] for r in resolved], np.int64)
+            s2 = np.asarray([r[1] for r in resolved], np.int64)
+            p1 = np.asarray([r[2] for r in resolved], np.int64)
+            p2 = np.asarray([r[3] for r in resolved], np.int64)
+            Xu1 = np.zeros((P, 3), np.float32)
+            Xu2 = np.zeros((P, 3), np.float32)
+            uvu1 = np.zeros((P, 2), np.float32)
+            uvu2 = np.zeros((P, 2), np.float32)
+            cvu1 = np.ones((P, 2), np.float32)
+            cvu2 = np.ones((P, 2), np.float32)
+            uvalid = np.zeros(P, bool)
+            Xu1[:n_u] = (self.map.pool.pos[p1]
+                         @ kf.Tcw[:3, :3].T + kf.Tcw[:3, 3])
+            Xu2[:n_u] = (self.map.pool.pos[p2]
+                         @ cand.Tcw[:3, :3].T + cand.Tcw[:3, 3])
+            uvu1[:n_u] = kf.data.uv[s1]
+            uvu2[:n_u] = cand.data.uv[s2]
+            cvu1[:n_u] = kf.data.cov2_inv[s1]
+            cvu2[:n_u] = cand.data.cov2_inv[s2]
+            uvalid[:n_u] = True
             R, t, s_, inlier, n_inl = s3.optimize_sim3(
-                res.R, res.t, res.s, jnp.asarray(X1c), jnp.asarray(X2c),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(kf.data.cov2_inv[[rows1[i1] for i1, _ in pairs]]),
-                jnp.asarray(cand.data.cov2_inv[[rows2[i2] for _, i2 in pairs]]),
-                res.inliers, K_intr)
+                res.R, res.t, res.s, jnp.asarray(Xu1), jnp.asarray(Xu2),
+                jnp.asarray(uvu1), jnp.asarray(uvu2), jnp.asarray(cvu1),
+                jnp.asarray(cvu2), jnp.asarray(uvalid), K_intr)
             if int(n_inl) < 20:
                 continue
             S_cand_cur = _np_sim3(R, t, s_)
@@ -289,6 +326,77 @@ class LoopClosing:
             if n_total >= 40:
                 return cand.kf_id, Scw, (matches, loop_pids)
         return None
+
+    def _search_by_sim3(self, kf: KeyFrame, cand: KeyFrame, res,
+                        slot_pairs) -> List[tuple]:
+        """Host side of SearchBySim3Override (sp_matcher_loop.cpp:7-220):
+        assemble per-keypoint-slot arrays for both keyframes, run the mutual
+        Sim3 projection kernel, and return agreeing new (slot1, slot2) pairs
+        (:211-223).  `res` is the RANSAC Sim3 S_cand<-cur."""
+        import jax.numpy as jnp
+
+        from sp_orb_slam_tpu.ops import matching
+
+        matched1 = {a for a, _ in slot_pairs}
+        matched2 = {b for _, b in slot_pairs}
+
+        def slot_arrays(kf_, exclude):
+            N = self.cfg.runtime.max_keypoints
+            pool = self.map.pool
+            pos_c = np.zeros((N, 3), np.float32)
+            desc = np.zeros((N, 256), np.float32)
+            dmin = np.zeros(N, np.float32)
+            dmax = np.full(N, 1e9, np.float32)
+            ok = np.zeros(N, bool)
+            R, t = kf_.Tcw[:3, :3], kf_.Tcw[:3, 3]
+            for i, pid in enumerate(kf_.mp_ids):
+                if pid < 0 or i in exclude:
+                    continue
+                mp = self.map.get_point(int(pid))
+                if mp is None or mp.bad:
+                    continue
+                pos_c[i] = pool.pos[mp.pid] @ R.T + t
+                desc[i] = pool.desc[mp.pid]
+                # scale-invariance bounds incl. the 0.8/1.2 margins
+                dmin[i] = 0.8 * pool.min_dist[mp.pid]
+                dmax[i] = 1.2 * pool.max_dist[mp.pid]
+                ok[i] = True
+            return pos_c, ok, desc, dmin, dmax
+
+        pos1, ok1, desc1, dmin1, dmax1 = slot_arrays(kf, matched1)
+        pos2, ok2, desc2, dmin2, dmax2 = slot_arrays(cand, matched2)
+
+        # res = S_cand<-cur; forward (cur map points into image 2) uses it
+        # directly, backward uses the inverse
+        Rr = np.asarray(res.R, np.float64)
+        tr = np.asarray(res.t, np.float64)
+        sr = float(res.s)
+        sR21 = (sr * Rr).astype(np.float32)
+        t21 = tr.astype(np.float32)
+        sR12 = ((1.0 / sr) * Rr.T).astype(np.float32)
+        t12 = (-(1.0 / sr) * (Rr.T @ tr)).astype(np.float32)
+
+        cam = self.cfg.camera
+        bounds = jnp.asarray(
+            np.array([0.0, cam.width - 1.0, 0.0, cam.height - 1.0],
+                     np.float32))
+        m1, m2 = matching.search_by_sim3(
+            jnp.asarray(pos1), jnp.asarray(ok1), jnp.asarray(desc1),
+            jnp.asarray(dmin1), jnp.asarray(dmax1),
+            kf.data.uv, kf.data.desc_dev, jnp.asarray(kf.data.valid),
+            jnp.asarray(pos2), jnp.asarray(ok2), jnp.asarray(desc2),
+            jnp.asarray(dmin2), jnp.asarray(dmax2),
+            cand.data.uv, cand.data.desc_dev, jnp.asarray(cand.data.valid),
+            jnp.asarray(sR21), jnp.asarray(t21), jnp.asarray(sR12),
+            jnp.asarray(t12), self.k.K_intr, bounds, radius=7.5)
+        m1 = np.asarray(m1)
+        m2 = np.asarray(m2)
+        grown = []
+        for s1_ in np.nonzero(m1 >= 0)[0]:
+            s2_ = int(m1[s1_])
+            if m2[s2_] == s1_:
+                grown.append((int(s1_), s2_))
+        return grown
 
     def _project_match(self, kf: KeyFrame, Scw, pids: List[int],
                        radius: float) -> Dict[int, int]:
