@@ -175,6 +175,10 @@ class Config:
     use_loop: bool = False
     verbose: bool = False
     online: bool = False
+    # run counted FAILED when Sim3-APE mean or RMSE exceeds this
+    # (1.0 m EuRoC, 100 for the cm-scale Tsukuba GT; evo_euroc.py:56,
+    # evo_tsukuba.py:50)
+    eval_failure_threshold: float = 1.0
     camera: CameraConfig = field(default_factory=CameraConfig)
     tracking: TrackingConfig = field(default_factory=TrackingConfig)
     mapping: MappingConfig = field(default_factory=MappingConfig)
@@ -263,7 +267,8 @@ def _from_reference_yaml(raw: Mapping[str, Any]) -> dict:
         }
     # our own extensions pass through verbatim
     for key in ("extractor", "runtime", "loop", "seq", "data_path", "model_path",
-                "dataset", "output_path", "verbose", "online"):
+                "dataset", "output_path", "verbose", "online",
+                "eval_failure_threshold"):
         if key in raw:
             out[key] = raw[key]
     return out

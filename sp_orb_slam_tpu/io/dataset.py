@@ -72,7 +72,12 @@ class EurocDataset:
 
 
 class TsukubaDataset:
-    """NewTsukuba: <root>/left/frame_%d.png at synthetic 20 fps."""
+    """NewTsukuba: <root>/left/frame_%d.png at synthetic 20 fps.
+
+    Ground truth: `gt.txt` (TUM 8-col, one row per frame at the same 20 fps;
+    orb_ros/data/tsukuba/gt.txt — all four illumination variants share it,
+    data_loader.cc:381 context).  Looked up next to the frames or one level
+    up (the reference keeps one copy for all variants)."""
 
     def __init__(self, root: str, fps: float = 20.0, n_frames: int = 1724):
         self.root = root
@@ -86,6 +91,19 @@ class TsukubaDataset:
             import glob
 
             self.paths = sorted(glob.glob(os.path.join(root, "left", "*.png")))
+        self.gt = None  # (ts, positions) when gt.txt exists
+        for p in (os.path.join(root, "gt.txt"),
+                  os.path.join(os.path.dirname(root.rstrip("/")), "gt.txt")):
+            if os.path.exists(p):
+                from sp_orb_slam_tpu.eval.batch import load_tum_trajectory
+
+                self.gt = load_tum_trajectory(p)
+                break
+
+    def gt_trajectory(self):
+        if self.gt is None:
+            raise FileNotFoundError(f"no gt.txt near {self.root}")
+        return self.gt
 
     def __len__(self):
         return len(self.paths)
