@@ -89,6 +89,12 @@ class TrackingConfig:
 
     num_features: int = 800
     scale_check: bool = False
+    # coarse tracker variant: "dust" (1/8 dustbin alignment, the production
+    # path, tracker_dust.cpp:22-228) or "heat" (full-resolution heat
+    # alignment, the retained experimental trackFrameHeat variant,
+    # tracker_dust.cpp:405-446)
+    coarse_method: str = "dust"
+    heat_chi2_inlier: float = 0.02  # optimizer_dust.cpp:~500 (heat variant)
     create_kf_tracked_over_ref: float = 0.5
     create_kf_tracked_over_curr: float = 0.4
     create_kf_ref_ratio: float = 0.7

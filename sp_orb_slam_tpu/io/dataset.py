@@ -280,6 +280,15 @@ class SyntheticDataset:
         dist = distance_transform_edt(~cells)
         dust = np.clip(0.05 + 0.25 * dist, 0.05, 0.85).astype(np.float32)
 
+        # full-resolution heat ("coldness", low at keypoints) for the
+        # heat-alignment tracker variant: a distance bowl around keypoints
+        kp_img = np.ones((cam.height, cam.width), bool)
+        vi = np.clip(uv[valid, 1].astype(int), 0, cam.height - 1)
+        ui = np.clip(uv[valid, 0].astype(int), 0, cam.width - 1)
+        kp_img[vi, ui] = False
+        heat = np.clip(0.03 * distance_transform_edt(kp_img),
+                       0.0, 0.9).astype(np.float32)
+
         cov2_inv = np.ones((K_cap, 2), np.float32)
         score = np.where(valid, 0.5, 0.0).astype(np.float32)
         return RawFrame(
@@ -288,7 +297,8 @@ class SyntheticDataset:
             global_desc=self._global_desc(i),
             injected=dict(uv=uv, desc=desc, valid=valid, occ_grid=occ,
                           dust=dust, cov2_inv=cov2_inv, score=score,
-                          count=int(valid.sum()), point_ids=point_ids),
+                          count=int(valid.sum()), point_ids=point_ids,
+                          heat=heat),
         )
 
     def __iter__(self) -> Iterator[RawFrame]:

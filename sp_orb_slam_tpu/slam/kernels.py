@@ -131,6 +131,34 @@ def dust_track_body(Tcw_pred, mp_pos, mp_desc_track, mp_valid, dust,
         n_opt=post.n_inlier, mp_in_view=res.inlier, mp_matched=mp2kp >= 0)
 
 
+def heat_track_body(Tcw_pred, mp_pos, mp_desc_track, mp_valid, heat,
+                    occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid, K_intr,
+                    *, heat_iters, huber_delta, chi2_inlier):
+    """trackFrameHeat equivalent (tracker_dust.cpp:405-446): full-resolution
+    heat alignment (PoseOptimizationHeat, optimizer_dust.cpp:415-522) in
+    place of the 1/8 dust alignment.  The reference's variant stops after
+    the alignment (association/return commented out, never finished); we
+    complete it with the same occ-grid association + post optimization as
+    the dust path so it is a usable drop-in coarse tracker."""
+    res = pose_opt.pose_optimization_heat(
+        Tcw_pred, mp_pos, mp_valid, heat, K_intr, iters=heat_iters,
+        huber_delta=huber_delta, chi2_inlier=chi2_inlier)
+    # full-res pixels -> 1/8 cell coords with the dust-intrinsics offset
+    # convention (fx/8, (cx-3.5)/8; optimizer_dust.cpp:223-226)
+    cell_uv = (res.proj_uv - 3.5) / 8.0
+    mp2kp, kp2mp = _dust_association(cell_uv, res.inlier, mp_desc_track,
+                                     occ_grid, kp_desc, kp_valid)
+    n_match = jnp.sum((mp2kp >= 0).astype(jnp.int32))
+    kp_has = kp2mp >= 0
+    Xw = mp_pos[jnp.clip(kp2mp, 0, None)]
+    post = pose_opt.pose_optimization_post(
+        res.Tcw, Xw, kp_uv, kp_cov2_inv, kp_has, K_intr)
+    return dict(
+        Tcw=post.Tcw, Tcw_coarse=res.Tcw, kp2mp=kp2mp,
+        post_inlier=post.inlier, n_coarse=res.n_inlier, n_match=n_match,
+        n_opt=post.n_inlier, mp_in_view=res.inlier, mp_matched=mp2kp >= 0)
+
+
 def motion_track_body(Tcw_pred, mp_pos, mp_desc_track, mp_valid, kp_desc,
                       kp_uv, kp_cov2_inv, kp_valid, K_intr, bounds, *,
                       radius, n_retry_th):
@@ -369,6 +397,16 @@ class TrackingKernels:
             return self.dust_layout.pack(**out)
 
         @jax.jit
+        def heat_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, heat,
+                    occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid):
+            out = heat_track_body(
+                Tcw_pred, mp_pos, mp_desc_track, mp_valid, heat, occ_grid,
+                kp_desc, kp_uv, kp_cov2_inv, kp_valid, self.K_intr,
+                heat_iters=d.iters, huber_delta=d.huber_delta,
+                chi2_inlier=cfg.tracking.heat_chi2_inlier)
+            return self.dust_layout.pack(**out)
+
+        @jax.jit
         def motion_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, kp_desc,
                       kp_uv, kp_cov2_inv, kp_valid):
             out = motion_track_body(
@@ -440,6 +478,7 @@ class TrackingKernels:
             return self.fuse_layout.pack(**out)
 
         self._dust = dust_fn
+        self._heat = heat_fn
         self._motion = motion_fn
         self._ref = ref_fn
         self._local = local_fn
@@ -478,6 +517,9 @@ class TrackingKernels:
         return out
 
     # host-facing: run + unpack (one transfer each)
+    def heat_track(self, *args):
+        return self.dust_layout.unpack(np.asarray(self._heat(*args)))
+
     def dust_track(self, *args):
         return self.dust_layout.unpack(np.asarray(self._dust(*args)))
 

@@ -112,6 +112,8 @@ class System:
             desc_dev=jnp.asarray(inj["desc"]),
             dust_dev=jnp.asarray(inj["dust"]),
             occ_grid_dev=jnp.asarray(inj["occ_grid"]),
+            heat_dev=(jnp.asarray(inj["heat"])
+                      if inj.get("heat") is not None else None),
         )
         f._desc_host = inj["desc"]
         return f

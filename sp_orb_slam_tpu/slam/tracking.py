@@ -307,10 +307,19 @@ class Tracking:
         pos, desc_track, valid = self._pad_mp_arrays(
             pids, P, self.map.pool.desc_track)
         d = self.cfg.tracking.dust
-        out = self.k.dust_track(
-            Tcw_pred.astype(np.float32), pos, desc_track, valid,
-            frame.dust_dev, frame.occ_grid_dev, frame.desc_dev, frame.uv,
-            frame.cov2_inv, frame.valid)
+        if (self.cfg.tracking.coarse_method == "heat"
+                and frame.heat_dev is not None):
+            # heat-alignment variant (trackFrameHeat,
+            # tracker_dust.cpp:405-446) behind the config switch
+            out = self.k.heat_track(
+                Tcw_pred.astype(np.float32), pos, desc_track, valid,
+                frame.heat_dev, frame.occ_grid_dev, frame.desc_dev,
+                frame.uv, frame.cov2_inv, frame.valid)
+        else:
+            out = self.k.dust_track(
+                Tcw_pred.astype(np.float32), pos, desc_track, valid,
+                frame.dust_dev, frame.occ_grid_dev, frame.desc_dev,
+                frame.uv, frame.cov2_inv, frame.valid)
 
         # viz/state feedback on the candidate points
         for li, pid in enumerate(pids):
