@@ -100,9 +100,12 @@ def undistort_points(uv: jnp.ndarray, K: jnp.ndarray, dist: jnp.ndarray,
     reference Frame::UndistortKeyPoints, frame.cpp:489-515)."""
     xy_d = back_project(K, uv)[..., :2]
 
+    # fixed-point iteration for distort(xy) == xy_d:
+    #   xy <- xy_d - (distort(xy) - xy)
+    # (keeping xy_d as the target; iterating xy - (distort(xy) - xy) instead
+    # converges to the wrong fixed point distort(x) == x)
     def body(_, xy):
-        d = distort_normalized(xy, dist) - xy
-        return xy - d
+        return xy_d - (distort_normalized(xy, dist) - xy)
 
     xy = jax.lax.fori_loop(0, iters, body, xy_d)
     fx, fy, cx, cy = K[0], K[1], K[2], K[3]
