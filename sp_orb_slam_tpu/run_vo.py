@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     ap.add_argument("--loop", action="store_true", help="enable loop closing")
     ap.add_argument("--synthetic-frames", type=int, default=120)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--debug-dir", default=None,
+                    help="write per-frame overlay PNGs + map snapshots "
+                         "(the offline viewer equivalent)")
     args = ap.parse_args(argv)
 
     from sp_orb_slam_tpu.config import load_config
@@ -71,6 +74,8 @@ def main(argv=None) -> int:
         dataset = make_dataset(cfg)
 
     system = System(cfg, params=params)
+    if args.debug_dir:
+        system.set_debug_dir(args.debug_dir)
     system.spin(dataset, max_frames=args.max_frames)
 
     os.makedirs(args.output, exist_ok=True)

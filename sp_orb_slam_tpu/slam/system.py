@@ -58,6 +58,7 @@ class System:
             self.looper = LoopClosing(cfg, self.map, self.kernels, self.mapper)
             self.mapper.looper = self.looper
         self.frame_id = 0
+        self.debug_dir: Optional[str] = None
         self._extract = None
         self._preprocess = None
         if params is not None:
@@ -146,6 +147,8 @@ class System:
                 frame = self._frame_from_image(raw)
         with self.timer.span("tracking/total"):
             self.tracker.track_frame(frame)
+        if self.debug_dir is not None:
+            self._write_debug(raw, frame)
         if self.tracker.request_reset:
             self.reset()
             return
@@ -156,6 +159,37 @@ class System:
                 with self.timer.span("loop"):
                     self.looper.spin_once()
         self.frame_id += 1
+
+    # -------------------------------------------------------- observability
+
+    def set_debug_dir(self, path: Optional[str]) -> None:
+        """Enable per-frame overlay + periodic map-snapshot dumps (the
+        offline equivalent of the reference's Pangolin viewer, viz/*)."""
+        self.debug_dir = path
+        if path:
+            os.makedirs(os.path.join(path, "frames"), exist_ok=True)
+            os.makedirs(os.path.join(path, "map"), exist_ok=True)
+
+    def _write_debug(self, raw: RawFrame, frame) -> None:
+        from sp_orb_slam_tpu.slam import tracking as tr
+        from sp_orb_slam_tpu.viz import draw_frame, draw_map, save_png
+
+        state = {tr.OK: "OK", tr.LOST: "LOST"}.get(self.tracker.state, "INIT")
+        img = draw_frame(frame, self.map,
+                         dust_pids=self.tracker.last_dust_pids,
+                         image=raw.image,
+                         K_intr=np.asarray(self.kernels.K_intr),
+                         state=state)
+        save_png(os.path.join(self.debug_dir, "frames",
+                              f"{self.frame_id:06d}.png"), img)
+        if self.frame_id % 20 == 0 or self.tracker.state == tr.LOST:
+            _, poses = self.trajectory()
+            traj = poses[:, :3, 3] if len(poses) else None
+            with self.map.update_lock:
+                draw_map(self.map,
+                         os.path.join(self.debug_dir, "map",
+                                      f"{self.frame_id:06d}.png"),
+                         current_kf=self.tracker.ref_kf, trajectory=traj)
 
     def start_threads(self) -> None:
         """Online mode: mapping (and loop closing) run on their own threads

@@ -55,6 +55,7 @@ class Tracking:
         # local map
         self.local_kfs: List[int] = []
         self.local_pids: List[int] = []
+        self.last_dust_pids: List[int] = []  # viz: coarse candidates
         # trajectory bookkeeping (tracker.cpp:343-356)
         self.rel_poses: List[np.ndarray] = []
         self.refs: List[int] = []
@@ -193,9 +194,17 @@ class Tracking:
         if not ok:
             ok = self._track_reference_kf(frame)
         frame.ref_kf = self.ref_kf
+        coarse_ok = ok
         if ok:
             ok = self._track_local_map(frame)
         self.state = OK if ok else LOST
+        if self.cfg.verbose:
+            # per-frame match/inlier log (tracker.cpp:537-540,590-594)
+            print(f"[track] frame {frame.frame_id}: "
+                  f"coarse={'ok' if coarse_ok else 'FAIL'} "
+                  f"fine_inliers={self.matches_inliers} "
+                  f"kps={frame.count} state={'OK' if ok else 'LOST'}",
+                  flush=True)
 
         if ok:
             # motion model update (tracker.cpp:283-291)
@@ -301,6 +310,7 @@ class Tracking:
         frame.ref_kf = self.last_frame.ref_kf
 
         pids, n_kfs = self._gather_dust_points(frame)
+        self.last_dust_pids = pids  # coarse-stage candidates (viz status)
         if not pids:
             return False
         P = self.cfg.runtime.dust_points_cap
