@@ -77,6 +77,8 @@ class LocalMapTrackConfig:
 
     th_view_cos: float = 0.5
     th_window_size: int = 1
+    th_window_retry: float = 5.0  # widened window for the starvation retry
+    #                               (reference precedent: th=5 after reloc)
     th_ninlier_high: int = 50
     th_ninlier_low: int = 6
     th_nn_ratio: float = 1.0
@@ -105,6 +107,42 @@ class TrackingConfig:
 
 
 @dataclass(frozen=True)
+class DepthFilterConfig:
+    """Depth-uncertainty gating + SVO-style seed delayed insertion.
+
+    The reference ships a *vestigial* DepthFilter/Seed (src/cv/
+    depth_filter.cpp:35-60, Vogiatzis Beta-Gaussian inverse-depth seeds)
+    that is never wired into the mapper; here it is a working subsystem
+    because near-zero-baseline keyframe pairs amplify depth error by
+    1/parallax and poison the pose fit (the dominant mono-drift mode —
+    see tests/test_depth_filter.py).
+
+    Semantics: triangulation candidates whose relative depth uncertainty
+    tau/z (SVO computeTau, one-pixel disparity propagated through the
+    triangulation geometry) exceeds `max_rel_sigma` are NOT inserted as
+    map points; instead they update Bayesian inverse-depth seeds on the
+    current keyframe and are promoted once the posterior converges.
+    """
+
+    enabled: bool = True             # (the reference's is vestigial-off;
+    #                                  ours measurably de-poisons the map —
+    #                                  NOTES.md round-2)
+    max_rel_sigma: float = 0.15      # direct-insert gate on tau/z
+    seed_px_noise: float = 1.0       # pixel disparity std driving tau
+    convergence_div: float = 30.0    # promote when sigma < z_range/div
+    promote_rel_sigma: float = 0.15  # ... or posterior sqrt(sigma2)/mu below
+    #                                  (= max_rel_sigma: a fused estimate as
+    #                                  certain as a direct insert qualifies)
+    max_seed_age: int = 7            # drop seeds unpromoted after N KFs
+    min_direct_inserts: int = 20     # starvation guard: if a keyframe gains
+    #                                  fewer direct inserts than this, admit
+    #                                  the least-uncertain deferred candidates
+    #                                  (rel order) up to the floor — gating
+    #                                  must not starve tracking through a
+    #                                  degenerate segment
+
+
+@dataclass(frozen=True)
 class MappingConfig:
     """Reference: config.cpp `namespace mapping` + YAML mapping block."""
 
@@ -114,6 +152,8 @@ class MappingConfig:
     triangulation_nn_ratio: float = 1.0
     triangulation_num_kfs: int = 8
     matching_method: int = 1  # 1 = ANN/dense (flann in ref), 2 = epipolar walk
+    depth_filter: DepthFilterConfig = dataclasses.field(
+        default_factory=DepthFilterConfig)
 
 
 @dataclass(frozen=True)

@@ -36,6 +36,42 @@ def triangulate(P1: jnp.ndarray, P2: jnp.ndarray, uv1: jnp.ndarray,
     return jax.vmap(one)(uv1, uv2)
 
 
+def depth_and_tau(X: jnp.ndarray, O_self: jnp.ndarray, O_other: jnp.ndarray,
+                  px_error_angle) -> tuple:
+    """Along-ray depth of X from O_self and its 1-observation uncertainty.
+
+    The SVO triangulation-uncertainty construction the reference's vestigial
+    DepthFilter presupposes (Seed::updateSeed consumes (x, tau^2),
+    depth_filter.cpp:35-60): perturb the observing ray in the *other* camera
+    by the pixel-noise angle and intersect with the baseline triangle; the
+    induced depth change tau is the 1-sigma depth error.  Batched over
+    points; degenerate triangles (gamma <= 0) get tau = +inf so downstream
+    relative-uncertainty gates reject them.
+
+    Returns (z, tau) with z = |X - O_self| (depth along the unit bearing
+    ray, the quantity the seed's inverse-depth state parameterizes).
+    """
+    t = O_other - O_self
+    t_norm = jnp.linalg.norm(t)
+    f = X - O_self
+    z = jnp.linalg.norm(f, axis=-1)
+    zs = jnp.maximum(z, 1e-9)
+    f_unit = f / zs[:, None]
+    a = X - O_other
+    a_norm = jnp.maximum(jnp.linalg.norm(a, axis=-1), 1e-9)
+    alpha = jnp.arccos(jnp.clip(f_unit @ t / jnp.maximum(t_norm, 1e-9),
+                                -1.0, 1.0))
+    beta = jnp.arccos(jnp.clip(-(a @ t) / (a_norm * jnp.maximum(t_norm, 1e-9)),
+                               -1.0, 1.0))
+    beta_plus = beta + px_error_angle
+    gamma = jnp.pi - alpha - beta_plus
+    sin_g = jnp.sin(gamma)
+    z_plus = t_norm * jnp.sin(beta_plus) / jnp.where(sin_g <= 1e-6, 1.0,
+                                                     sin_g)
+    tau = jnp.where(sin_g <= 1e-6, jnp.inf, jnp.abs(z_plus - z))
+    return z, tau
+
+
 class TriGates(NamedTuple):
     good: jnp.ndarray          # (N,) all gates passed
     rej_parallax: jnp.ndarray  # per-gate masks, for the reference's counters

@@ -64,10 +64,10 @@ class EurocDataset:
         return len(self.entries)
 
     def __iter__(self) -> Iterator[RawFrame]:
-        from PIL import Image
+        from sp_orb_slam_tpu.io.native_loader import iter_gray_images
 
-        for ts, path in self.entries:
-            img = np.asarray(Image.open(path).convert("L"))
+        paths = [p for _, p in self.entries]
+        for (ts, _), img in zip(self.entries, iter_gray_images(paths)):
             yield RawFrame(timestamp=ts, image=img)
 
 
@@ -109,10 +109,9 @@ class TsukubaDataset:
         return len(self.paths)
 
     def __iter__(self) -> Iterator[RawFrame]:
-        from PIL import Image
+        from sp_orb_slam_tpu.io.native_loader import iter_gray_images
 
-        for i, path in enumerate(self.paths):
-            img = np.asarray(Image.open(path).convert("L"))
+        for i, img in enumerate(iter_gray_images(self.paths)):
             yield RawFrame(timestamp=i / self.fps, image=img)
 
 
@@ -141,6 +140,51 @@ def _smooth_trajectory(n: int, rng) -> np.ndarray:
                         0.8 * t])
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+    return np.stack(poses)
+
+
+def _degenerate_trajectory(n: int, *, apex_frac: float = 0.45,
+                           apex_len_frac: float = 0.25,
+                           apex_yaw: float = 0.55) -> np.ndarray:
+    """Twc poses with a *degenerate* segment: the camera decelerates into a
+    near-pure-rotation turn apex (inter-frame baseline collapses to ~0 while
+    yaw keeps changing), then accelerates out.
+
+    This is the monocular failure mode the reference's 5-run protocol
+    tolerates with outright failures: keyframes created at the apex
+    triangulate new points with ~zero parallax, whose depth error is
+    amplified by 1/parallax and then poisons the pose fit after the apex.
+    Used by the depth-filter replay (tests/test_depth_filter.py).
+    """
+    # arclength profile: smooth-step speed that dips to ~0 inside the apex
+    ts = np.arange(n) / max(n - 1, 1)
+    a0, a1 = apex_frac, apex_frac + apex_len_frac
+    speed = np.ones(n)
+    inside = (ts >= a0) & (ts <= a1)
+    ph = (ts[inside] - a0) / max(a1 - a0, 1e-9)       # 0..1 inside apex
+    speed[inside] = 0.02 + 0.98 * (2 * np.abs(ph - 0.5)) ** 2
+    s = np.concatenate([[0.0], np.cumsum(0.5 * (speed[1:] + speed[:-1]))])
+    s = s / s[-1]  # normalized arclength 0..1
+
+    poses = []
+    for i in range(n):
+        t = ts[i]
+        # yaw keeps turning through the apex even though translation stalls
+        yaw = -0.25 * s[i] * 4.0
+        if a0 <= t <= a1:
+            ph = (t - a0) / max(a1 - a0, 1e-9)
+            yaw += -apex_yaw * 0.5 * (1 - np.cos(np.pi * ph))
+        elif t > a1:
+            yaw += -apex_yaw
+        pos = np.array([4.0 * s[i],
+                        0.2 * np.sin(2 * np.pi * s[i] * 1.5),
+                        0.8 * s[i]])
+        c, sn = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, sn], [0, 1, 0], [-sn, 0, c]], np.float32)
         T = np.eye(4, dtype=np.float32)
         T[:3, :3] = R
         T[:3, 3] = pos
@@ -180,7 +224,8 @@ class SyntheticDataset:
 
     def __init__(self, cfg: Config, n_frames: int = 120, n_points: int = 4000,
                  seed: int = 0, pixel_noise: float = 0.3,
-                 desc_noise: float = 0.01, loop: bool = False):
+                 desc_noise: float = 0.01, loop: bool = False,
+                 trajectory: str = None):
         self.cfg = cfg
         rng = np.random.default_rng(seed)
         self.n_frames = n_frames
@@ -208,8 +253,12 @@ class SyntheticDataset:
         self.descs = d / np.linalg.norm(d, axis=1, keepdims=True)
         # note: per-dim noise sigma n adds a vector of norm ~n*16 to a unit
         # descriptor; keep it well under TH_LOW/sqrt(2) (matching.py)
-        self.poses = (_loop_trajectory(n_frames)
-                      if loop else _smooth_trajectory(n_frames, rng))  # Twc
+        if trajectory == "degenerate":
+            self.poses = _degenerate_trajectory(n_frames)  # Twc
+        elif loop or trajectory == "loop":
+            self.poses = _loop_trajectory(n_frames)
+        else:
+            self.poses = _smooth_trajectory(n_frames, rng)
         self.rng = rng
         self.pixel_noise = pixel_noise
         self.desc_noise = desc_noise

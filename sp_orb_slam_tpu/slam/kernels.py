@@ -33,7 +33,9 @@ import numpy as np
 
 from sp_orb_slam_tpu.config import Config
 from sp_orb_slam_tpu.geometry import twoview
-from sp_orb_slam_tpu.geometry.triangulation import triangulate, triangulation_gates
+from sp_orb_slam_tpu.geometry.triangulation import (depth_and_tau,
+                                                    triangulate,
+                                                    triangulation_gates)
 from sp_orb_slam_tpu.ops import matching
 from sp_orb_slam_tpu.optim import pose as pose_opt
 
@@ -192,6 +194,31 @@ def motion_track_body(Tcw_pred, mp_pos, mp_desc_track, mp_valid, kp_desc,
                 n_match=n_match, n_inlier=res.n_inlier)
 
 
+def reloc_track_body(T0s, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
+                     kp_cov2_inv, kp_valid, K_intr):
+    """Relocalization attempt against one candidate KF: brute-force mutual
+    NN (pose-free) + MULTI-START pose optimization.
+
+    The reference's Relocalization (tracker.cpp:986-1138, stubbed) used
+    PnP RANSAC to seed the pose fit because the 4x10 PoseOptimization
+    restarts every round from the initial pose (optimizer.cpp:231-443) and
+    silently diverges-to-zero-inliers from a far start.  The TPU-native
+    replacement for sequential RANSAC is a *batched* LM: vmap the same
+    optimizer over S perturbed starts (yaw fan around two base poses) and
+    keep the start with the most inliers — one XLA program, MXU-friendly.
+    """
+    kp2mp = matching.search_by_brute_force(mp_desc, mp_valid, kp_desc,
+                                           kp_valid)
+    kp_has = kp2mp >= 0
+    Xw = mp_pos[jnp.clip(kp2mp, 0, None)]
+    res = jax.vmap(lambda T: pose_opt.pose_optimization(
+        T, Xw, kp_uv, kp_cov2_inv, kp_has, K_intr))(T0s)
+    best = jnp.argmax(res.n_inlier)
+    return dict(Tcw=res.Tcw[best], kp2mp=kp2mp, inlier=res.inlier[best],
+                n_match=jnp.sum(kp_has.astype(jnp.int32)),
+                n_inlier=res.n_inlier[best])
+
+
 def ref_track_body(Tcw0, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
                    kp_cov2_inv, kp_valid, K_intr):
     kp2mp = matching.search_by_brute_force(mp_desc, mp_valid, kp_desc,
@@ -273,7 +300,7 @@ def init_body(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc, kp2_uv,
 
 def triangulate_body(Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
                      kp2_uv, kp2_desc, kp2_cov2_inv, kp2_free, K_intr,
-                     *, nn_ratio, method: int = 1):
+                     *, nn_ratio, method: int = 1, seed_px_noise: float = 1.0):
     """One neighbor-KF triangulation pass (local_mapper.cpp:615-791):
     SearchForTri (method 1 = exact 2-NN + epipole + epipolar gates, the
     FLANN equivalent; method 2 = epipolar-segment walk, SearchForTriByEpi;
@@ -326,8 +353,17 @@ def triangulate_body(Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
     gates = triangulation_gates(
         X, Tcw1, Tcw2, K_intr, uv1, kp2_uv, kp1_cov2_inv[idx1], kp2_cov2_inv,
         has)
+    # depth + triangulation uncertainty per view for the depth filter
+    # (SVO computeTau geometry; the reference's Seed consumes (x, tau^2),
+    # depth_filter.cpp:35-60)
+    O1 = -R1.T @ t1
+    O2 = -R2.T @ t2
+    px_err_angle = 2.0 * jnp.arctan(seed_px_noise / (2.0 * fx))
+    z1, tau1 = depth_and_tau(X, O1, O2, px_err_angle)
+    z2, tau2 = depth_and_tau(X, O2, O1, px_err_angle)
     return dict(match21=match21, points=X, good=gates.good,
-                n_good=jnp.sum(gates.good.astype(jnp.int32)))
+                n_good=jnp.sum(gates.good.astype(jnp.int32)),
+                z1=z1, tau1=tau1, z2=z2, tau2=tau2)
 
 
 def fuse_body(Tcw, mp_pos, mp_desc, mp_normal, mp_dmin, mp_dmax, mp_valid,
@@ -423,6 +459,13 @@ class TrackingKernels:
                                  kp_uv, kp_cov2_inv, kp_valid, self.K_intr)
             return self.track_layout.pack(**out)
 
+        @jax.jit
+        def reloc_fn(T0s, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
+                     kp_cov2_inv, kp_valid):
+            out = reloc_track_body(T0s, mp_pos, mp_desc, mp_valid, kp_desc,
+                                   kp_uv, kp_cov2_inv, kp_valid, self.K_intr)
+            return self.track_layout.pack(**out)
+
         m = cfg.tracking.map
 
         @jax.jit
@@ -434,6 +477,24 @@ class TrackingKernels:
                 mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv, kp_cov2_inv,
                 kp_valid, self.K_intr, self.bounds,
                 view_cos_th=m.th_view_cos, window_th=float(m.th_window_size),
+                match_adaptive=m.match_adaptive,
+                c2_thresh=cfg.tracking.dust.c2_thresh)
+            return self.local_layout.pack(**out)
+
+        @jax.jit
+        def local_wide_fn(Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin,
+                          mp_dmax, mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
+                          kp_cov2_inv, kp_valid):
+            # starvation retry: widened search window (the reference widens
+            # to th=5 after relocalization, sp_matcher.cpp th parameter;
+            # here also when the local map starves mid-run — local BA depth
+            # slides on low-parallax points can exceed the 4 px window)
+            out = local_map_track_body(
+                Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin, mp_dmax,
+                mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv, kp_cov2_inv,
+                kp_valid, self.K_intr, self.bounds,
+                view_cos_th=m.th_view_cos,
+                window_th=float(m.th_window_retry),
                 match_adaptive=m.match_adaptive,
                 c2_thresh=cfg.tracking.dust.c2_thresh)
             return self.local_layout.pack(**out)
@@ -455,7 +516,9 @@ class TrackingKernels:
 
         self.tri_layout = Layout([
             ("match21", (K,), int), ("points", (K, 3), float),
-            ("good", (K,), bool), ("n_good", (), int)])
+            ("good", (K,), bool), ("n_good", (), int),
+            ("z1", (K,), float), ("tau1", (K,), float),
+            ("z2", (K,), float), ("tau2", (K,), float)])
 
         @jax.jit
         def tri_fn(Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
@@ -463,7 +526,8 @@ class TrackingKernels:
             out = triangulate_body(
                 Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
                 kp2_uv, kp2_desc, kp2_cov2_inv, kp2_free, self.K_intr,
-                nn_ratio=0.7, method=cfg.mapping.matching_method)
+                nn_ratio=0.7, method=cfg.mapping.matching_method,
+                seed_px_noise=cfg.mapping.depth_filter.seed_px_noise)
             return self.tri_layout.pack(**out)
 
         self.fuse_layout = Layout([
@@ -481,7 +545,9 @@ class TrackingKernels:
         self._heat = heat_fn
         self._motion = motion_fn
         self._ref = ref_fn
+        self._reloc = reloc_fn
         self._local = local_fn
+        self._local_wide = local_wide_fn
         self._init = init_fn
         self._tri = tri_fn
         self._fuse = fuse_fn
@@ -529,8 +595,14 @@ class TrackingKernels:
     def ref_track(self, *args):
         return self.track_layout.unpack(np.asarray(self._ref(*args)))
 
+    def reloc_track(self, *args):
+        return self.track_layout.unpack(np.asarray(self._reloc(*args)))
+
     def local_map_track(self, *args):
         return self.local_layout.unpack(np.asarray(self._local(*args)))
+
+    def local_map_track_wide(self, *args):
+        return self.local_layout.unpack(np.asarray(self._local_wide(*args)))
 
     def init_two_view(self, *args):
         return self.init_layout.unpack(np.asarray(self._init(*args)))

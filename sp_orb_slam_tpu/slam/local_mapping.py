@@ -18,6 +18,7 @@ import numpy as np
 
 from sp_orb_slam_tpu.config import Config
 from sp_orb_slam_tpu.optim import ba as ba_mod
+from sp_orb_slam_tpu.slam.depth_filter import DepthFilter
 from sp_orb_slam_tpu.slam.kernels import TrackingKernels
 from sp_orb_slam_tpu.slam.map import Map, KeyFrame
 
@@ -161,6 +162,8 @@ class LocalMapping:
         self.looper = None  # set by System when use_loop
         self._thread = None
         self._shutdown = False
+        self.depth_filter = (DepthFilter(cfg, world, np.asarray(kernels.K_intr))
+                             if cfg.mapping.depth_filter.enabled else None)
 
     # ------------------------------------------------------------------ API
 
@@ -324,7 +327,17 @@ class LocalMapping:
         self.recent_pids = kept
 
     def create_new_map_points(self, kf: KeyFrame) -> None:
-        """CreateNewMapPointsOverride (local_mapper.cpp:558-814)."""
+        """CreateNewMapPointsOverride (local_mapper.cpp:558-814).
+
+        With the depth filter enabled, candidates passing the geometric
+        gates but exceeding the relative depth-uncertainty bound tau/z
+        (both views) are deferred into Bayesian seeds instead of inserted
+        — the working version of the reference's vestigial DepthFilter
+        (depth_filter.cpp:35-60); see slam/depth_filter.py."""
+        df = self.depth_filter
+        dfc = self.cfg.mapping.depth_filter
+        n_direct = 0
+        deferred = []  # (rel, kf2_id, j, i, X) for the starvation guard
         neighbors = kf.best_covisible(self.cfg.mapping.triangulation_num_kfs)
         Ow1 = kf.Ow
         for kid in neighbors:
@@ -343,6 +356,13 @@ class LocalMapping:
                 kf2.data.cov2_inv, free2)
             good = out["good"]
             match21 = out["match21"]
+            if df is not None:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    rel = np.maximum(out["tau1"] / np.maximum(out["z1"], 1e-9),
+                                     out["tau2"] / np.maximum(out["z2"], 1e-9))
+                certain = good & (rel <= dfc.max_rel_sigma)
+                seedable = good & ~certain
+                good = certain
             for j in np.nonzero(good)[0]:
                 i = int(match21[j])
                 if kf.mp_ids[i] >= 0 or kf2.mp_ids[j] >= 0:
@@ -355,6 +375,72 @@ class LocalMapping:
                 self.map.update_desc_track(mp, kf.kf_id, i)
                 self.map.update_normal_and_depth(mp)
                 self.recent_pids.append(mp.pid)
+                n_direct += 1
+            if df is not None:
+                # route deferred candidates into seeds; promote converged
+                seedable &= (kf.mp_ids[np.clip(match21, 0, None)] < 0)
+                seedable &= (kf2.mp_ids < 0)
+                for j in np.nonzero(seedable)[0]:
+                    deferred.append((float(rel[j]), kf2.kf_id, int(j),
+                                     int(match21[j]), out["points"][j]))
+                for owner_id, slot, other_id, oidx in df.observe_pair(
+                        kf, kf2, out, seedable):
+                    self._promote_seed(owner_id, slot, other_id, oidx)
+        if df is not None:
+            # Starvation guard: pure deferral through a degenerate segment
+            # (turn apex) removes exactly the points the new viewing
+            # direction needs and tracking dies on the far side.  Keep the
+            # map fed with the *least-uncertain* deferred candidates.
+            if n_direct < dfc.min_direct_inserts:
+                deferred.sort(key=lambda c: c[0])
+                for rel_j, kf2_id, j, i, X in deferred:
+                    if n_direct >= dfc.min_direct_inserts:
+                        break
+                    kf2 = self.map.keyframes.get(kf2_id)
+                    if kf2 is None or kf2.bad:
+                        continue
+                    if kf.mp_ids[i] >= 0 or kf2.mp_ids[j] >= 0:
+                        continue
+                    mp = self.map.create_point(X, kf.kf_id)
+                    mp.first_kf = kf.kf_id
+                    self.map.add_observation(mp, kf.kf_id, i)
+                    self.map.add_observation(mp, kf2.kf_id, j)
+                    self.map.compute_distinctive_descriptor(mp)
+                    self.map.update_desc_track(mp, kf.kf_id, i)
+                    self.map.update_normal_and_depth(mp)
+                    self.recent_pids.append(mp.pid)
+                    n_direct += 1
+                    df.n_rescued += 1
+            df.prune(kf.kf_id)
+
+    def _promote_seed(self, owner_id: int, slot: int, other_id: int,
+                      oidx: int) -> None:
+        """Insert a converged seed as a map point observed in the owner KF
+        and the partner of the converging measurement."""
+        df = self.depth_filter
+        owner = self.map.keyframes.get(owner_id)
+        other = self.map.keyframes.get(other_id)
+        if owner is None or owner.bad or other is None or other.bad:
+            return
+        if owner.mp_ids[slot] >= 0 or other.mp_ids[oidx] >= 0:
+            return
+        X = df.point_from_seed(owner, slot)
+        if X is None or not np.all(np.isfinite(X)):
+            return
+        # positive-depth sanity in both views (the posterior can drift
+        # outside the frustum when late measurements were outliers)
+        for k_ in (owner, other):
+            if float(k_.Tcw[2, :3] @ X + k_.Tcw[2, 3]) <= 0:
+                return
+        mp = self.map.create_point(X, owner_id)
+        mp.first_kf = self.current_kf.kf_id if self.current_kf else owner_id
+        self.map.add_observation(mp, owner_id, slot)
+        self.map.add_observation(mp, other_id, oidx)
+        self.map.compute_distinctive_descriptor(mp)
+        self.map.update_desc_track(mp, owner_id, slot)
+        self.map.update_normal_and_depth(mp)
+        self.recent_pids.append(mp.pid)
+        df.n_promoted += 1
 
     def _scene_median_depth(self, kf: KeyFrame) -> float:
         zs = []

@@ -48,6 +48,7 @@ class Tracking:
         self.matches_inliers = 0
         self.n_fail_dust = 0
         self.request_reset = False
+        self.last_fail = ""  # diagnostic: why the latest stage rejected
         # init state
         self._init_frame: Optional[FrameData] = None
         self._prev_matched: Optional[np.ndarray] = None
@@ -184,27 +185,32 @@ class Tracking:
     def _track(self, frame: FrameData) -> None:
         self._check_replaced_in_last_frame()
         ok = False
+        was_lost = self.state == LOST
         if self.state == OK:
             ok = self._track_dust(frame)
             if not ok:
                 self.n_fail_dust += 1
                 ok = self._track_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_kf(frame)
         else:
-            ok = self._track_reference_kf(frame)
-        if not ok:
-            ok = self._track_reference_kf(frame)
+            ok = self._relocalize(frame)
         frame.ref_kf = self.ref_kf
         coarse_ok = ok
         if ok:
             ok = self._track_local_map(frame)
+        if ok and was_lost:
+            # fresh start for the motion model: the pre-LOST velocity and
+            # the stale last-frame pose are both poisoned
+            self.velocity = None
         self.state = OK if ok else LOST
         if self.cfg.verbose:
             # per-frame match/inlier log (tracker.cpp:537-540,590-594)
             print(f"[track] frame {frame.frame_id}: "
                   f"coarse={'ok' if coarse_ok else 'FAIL'} "
                   f"fine_inliers={self.matches_inliers} "
-                  f"kps={frame.count} state={'OK' if ok else 'LOST'}",
-                  flush=True)
+                  f"kps={frame.count} state={'OK' if ok else 'LOST'}"
+                  + ("" if ok else f" why[{self.last_fail}]"), flush=True)
 
         if ok:
             # motion model update (tracker.cpp:283-291)
@@ -339,9 +345,13 @@ class Tracking:
                 mp.dust_match = bool(out["mp_matched"][li])
 
         if out["n_coarse"] < d.th_ninlier:
+            self.last_fail = (f"dust: n_coarse={int(out['n_coarse'])}"
+                              f"<{d.th_ninlier}")
             frame.set_pose(Tcw_pred)
             return False
         if out["n_match"] < d.th_nmatch:
+            self.last_fail = (f"dust: n_match={int(out['n_match'])}"
+                              f"<{d.th_nmatch}")
             frame.set_pose(Tcw_pred)
             return False
         # bind
@@ -356,6 +366,8 @@ class Tracking:
         self.inlier_coarse.append(n_opt)
         if n_opt * 1.0 / max(int(out["n_match"]), 1) > d.th_ratio:
             return True
+        self.last_fail = (f"dust: ratio {n_opt}/{int(out['n_match'])}"
+                          f"<={d.th_ratio}")
         frame.set_pose(Tcw_pred)
         return False
 
@@ -398,11 +410,88 @@ class Tracking:
                     mp.last_frame_seen = frame.frame_id
             elif mp is not None and mp.n_obs > 0:
                 n_map += 1
-        return n_map >= self.cfg.tracking.motion.th_nmatch_opt
+        if n_map < self.cfg.tracking.motion.th_nmatch_opt:
+            self.last_fail = (f"motion: n_map={n_map}"
+                              f"<{self.cfg.tracking.motion.th_nmatch_opt} "
+                              f"(n_match={int(out['n_match'])})")
+            return False
+        return True
 
-    def _track_reference_kf(self, frame: FrameData) -> bool:
-        """trackReferenceKeyFrameANN (tracker.cpp:372-417)."""
-        ref = self.map.keyframes.get(self.ref_kf)
+    def _relocalize(self, frame: FrameData) -> bool:
+        """Recovery from LOST.
+
+        The reference's Relocalization is stubbed dead code (returns false,
+        tracker.cpp:986-1138), so a LOST reference build stays lost until
+        the <=5-KF reset — measured here as 30+-frame LOST streaks wedged
+        on a single bad reference KF (the brute-force matcher keeps finding
+        ~35 descriptor matches whose *depths* were poisoned by a turn-apex
+        triangulation, so pose optimization rejects them every frame).
+        This working version follows the stub's intended shape (place-
+        recognition candidates -> per-candidate match + pose fit): try the
+        current reference KF, then the most recent KFs, then the best
+        global-descriptor candidates, and re-anchor on the first that
+        yields a valid pose."""
+        cands: List[int] = []
+        if self.ref_kf >= 0:
+            cands.append(self.ref_kf)
+        alive = sorted(k for k, kf in self.map.keyframes.items()
+                       if not kf.bad)
+        cands += [k for k in reversed(alive[-5:]) if k not in cands]
+        if frame.global_desc is not None:
+            scored = []
+            for k in alive:
+                kf = self.map.keyframes[k]
+                if kf.global_desc is None or k in cands:
+                    continue
+                scored.append((float(frame.global_desc @ kf.global_desc), k))
+            scored.sort(reverse=True)
+            far = [k for _, k in scored[:3]]
+        else:
+            far = []
+        attempts = []
+        for k in cands[:8] + far:
+            # multi-start fan: the camera may be anywhere between the last
+            # tracked pose and the candidate's own pose, and the 4x10
+            # PoseOptimization diverges-to-zero-inliers from a far start
+            T0s = self._reloc_starts(self.map.keyframes[k].Tcw)
+            if self._track_reference_kf(frame, ref_id=k, T0s=T0s):
+                self.ref_kf = k
+                return True
+            attempts.append(f"kf{k}({self.last_fail})")
+        self.last_fail = "reloc: " + "; ".join(attempts)
+        return False
+
+    def _reloc_starts(self, cand_Tcw: np.ndarray) -> np.ndarray:
+        """(16, 4, 4) initial poses: a yaw fan (in the camera frame) around
+        two bases — the last tracked pose and the candidate KF's pose."""
+        bases = []
+        if self.last_frame is not None and self.last_frame.Tcw is not None:
+            bases.append(self.last_frame.Tcw)
+        bases.append(cand_Tcw)
+        while len(bases) < 2:
+            bases.append(cand_Tcw)
+        yaws = (0.0, 0.2, -0.2, 0.45, -0.45, 0.8, -0.8)
+        pitches = (0.25, -0.25)
+        starts = []
+        for B in bases[:2]:
+            for y in yaws:
+                c, s = np.cos(y), np.sin(y)
+                R = np.array([[c, 0, s, 0], [0, 1, 0, 0],
+                              [-s, 0, c, 0], [0, 0, 0, 1]], np.float32)
+                starts.append(R @ B)  # left-multiply = rotate camera in place
+        for p in pitches:
+            c, s = np.cos(p), np.sin(p)
+            R = np.array([[1, 0, 0, 0], [0, c, -s, 0],
+                          [0, s, c, 0], [0, 0, 0, 1]], np.float32)
+            starts.append(R @ bases[0])
+        return np.stack(starts).astype(np.float32)
+
+    def _track_reference_kf(self, frame: FrameData, ref_id: int = None,
+                            T0s: np.ndarray = None) -> bool:
+        """trackReferenceKeyFrameANN (tracker.cpp:372-417); with T0s given
+        (relocalization) runs the multi-start variant instead."""
+        ref = self.map.keyframes.get(self.ref_kf if ref_id is None
+                                     else ref_id)
         if ref is None or ref.bad:
             return False
         frame.mp_ids[:] = -1
@@ -429,11 +518,17 @@ class Tracking:
         pos[:n] = self.map.pool.pos[np.asarray(pids[:n])]
         desc[:n] = ref.data.desc_host[np.asarray(rows[:n])]
         valid[:n] = True
-        T0 = (self.last_frame.Tcw if self.last_frame is not None
-              and self.last_frame.Tcw is not None else np.eye(4, np.float32))
-        out = self.k.ref_track(
-            T0.astype(np.float32), pos, desc, valid, frame.desc_dev,
-            frame.uv, frame.cov2_inv, frame.valid)
+        if T0s is not None:
+            out = self.k.reloc_track(
+                T0s, pos, desc, valid, frame.desc_dev, frame.uv,
+                frame.cov2_inv, frame.valid)
+        else:
+            T0 = (self.last_frame.Tcw if self.last_frame is not None
+                  and self.last_frame.Tcw is not None
+                  else np.eye(4, np.float32))
+            out = self.k.ref_track(
+                T0.astype(np.float32), pos, desc, valid, frame.desc_dev,
+                frame.uv, frame.cov2_inv, frame.valid)
         kp2mp = out["kp2mp"]
         bound = kp2mp >= 0
         frame.mp_ids[bound] = np.asarray(pids, np.int64)[
@@ -451,12 +546,28 @@ class Tracking:
                     mp.last_frame_seen = frame.frame_id
             elif mp is not None and mp.n_obs > 0:
                 n_map += 1
-        return n_map >= self.cfg.tracking.motion.th_nmatch_opt
+        if n_map < self.cfg.tracking.motion.th_nmatch_opt:
+            self.last_fail = (f"ref: n_map={n_map}"
+                              f"<{self.cfg.tracking.motion.th_nmatch_opt} "
+                              f"(n_match={int(out['n_match'])}, "
+                              f"n_inlier={int(out['n_inlier'])})")
+            return False
+        return True
 
     # ---------------------------------------------------------- local map
 
     def _update_local_map(self, frame: FrameData) -> None:
-        """UpdateLocalKeyFrames/Points (tracker.cpp:868-984, 843-866)."""
+        """UpdateLocalKeyFrames/Points (tracker.cpp:868-984, 843-866).
+
+        Expansion semantics verified line-by-line against the reference
+        (tests/test_tracking_units.py): the seed set is every observer of a
+        currently-bound point; then ONE pass over a *snapshot* of that list
+        (itEndKF is captured before the loop, tracker.cpp:933-935) grows it
+        by, per listed KF: the first unmarked of its top-20 covisible
+        (inner break, :945-955), the first unmarked child (inner break,
+        :958-970), and its parent — whose branch `break`s the OUTER loop
+        (:974-981), an ORB-SLAM2 quirk the reference preserves and so do
+        we.  The 80-KF cap is checked at the top of each iteration."""
         counter = {}
         for i in np.nonzero(frame.mp_ids >= 0)[0]:
             mp = self.map.get_point(int(frame.mp_ids[i]))
@@ -467,10 +578,14 @@ class Tracking:
                 counter[kid] = counter.get(kid, 0) + 1
         if not counter:
             return
-        kf_max = max(counter, key=counter.get)
         self.local_kfs = [k for k in counter
                           if (kf := self.map.keyframes.get(k)) is not None
                           and not kf.bad]
+        if not self.local_kfs:
+            return
+        # max-count anchor over *good* KFs only (the reference skips bad
+        # KFs before the max update, tracker.cpp:920-929)
+        kf_max = max(self.local_kfs, key=counter.get)
         marked = set(self.local_kfs)
         for kid in list(self.local_kfs):
             if len(self.local_kfs) > 80:
@@ -549,10 +664,19 @@ class Tracking:
             li = pid_to_local.get(int(frame.mp_ids[i]))
             if li is not None:
                 kp2mp0[i] = li
-        out = self.k.local_map_track(
-            frame.Tcw.astype(np.float32), pos, desc, normal, dmin, dmax,
-            valid, skip, kp2mp0, frame.desc_dev, frame.uv, frame.cov2_inv,
-            frame.valid)
+        args = (frame.Tcw.astype(np.float32), pos, desc, normal, dmin, dmax,
+                valid, skip, kp2mp0, frame.desc_dev, frame.uv,
+                frame.cov2_inv, frame.valid)
+        out = self.k.local_map_track(*args)
+        if int(out["n_inlier"]) < self.cfg.tracking.map.th_ninlier_high:
+            # Starvation retry at the widened window (see
+            # local_map_track_wide): local-BA depth slides on low-parallax
+            # points routinely exceed the 4 px window early in a map's
+            # life, and a starved frame forfeits exactly the constraints
+            # BA needs to stop sliding.  Keep whichever result binds more.
+            wide = self.k.local_map_track_wide(*args)
+            if int(wide["n_inlier"]) > int(out["n_inlier"]):
+                out = wide
         # visible bookkeeping (IncreaseVisible on frustum hits, :798-804)
         for li in np.nonzero(out["mp_visible"][:n])[0]:
             mp = self.map.points.get(pids[li])
@@ -580,6 +704,10 @@ class Tracking:
         self.inlier_fine.append(self.matches_inliers)
 
         if self.matches_inliers < self.cfg.tracking.map.th_ninlier_low:
+            self.last_fail = (f"local: inliers={self.matches_inliers}"
+                              f"<{self.cfg.tracking.map.th_ninlier_low} "
+                              f"(n_extra={int(out['n_extra'])}, "
+                              f"n_local={n})")
             return False
         return True
 

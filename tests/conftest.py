@@ -37,6 +37,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration tests")
+
+
 @pytest.fixture()
 def rng(request):
     # per-test deterministic stream: order-independent and run-stable
