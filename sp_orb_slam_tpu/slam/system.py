@@ -58,6 +58,14 @@ class System:
             self.looper = LoopClosing(cfg, self.map, self.kernels, self.mapper)
             self.mapper.looper = self.looper
         self.frame_id = 0
+        # interactive gating + mode toggles (the reference's global::b_*
+        # atomics written by the viewer menu, viz/viewer.cpp:56-126, and
+        # consumed by System::spin/run, system.cpp:141-233)
+        self.paused = False
+        self.step_once = False           # process exactly one frame while paused
+        self._local_on = False           # pending ActivateLocalizationMode
+        self._local_off = False          # pending DeactivateLocalizationMode
+        self._system_reset = False       # pending resetSystem
         self.debug_dir: Optional[str] = None
         self._extract = None
         self._preprocess = None
@@ -191,6 +199,49 @@ class System:
                                       f"{self.frame_id:06d}.png"),
                          current_kf=self.tracker.ref_kf, trajectory=traj)
 
+    # ------------------------------------------------------- mode toggles
+
+    def activate_localization_mode(self) -> None:
+        """Queue the switch to tracking-only (ActivateLocalizationMode):
+        applied at the next `run`/`process`, like the reference's
+        `global::b_local_on` flag (system.cpp:203-215)."""
+        self._local_on = True
+        self._local_off = False
+
+    def deactivate_localization_mode(self) -> None:
+        self._local_off = True
+        self._local_on = False
+
+    def request_system_reset(self) -> None:
+        """The viewer-menu Reset equivalent (`global::b_system_reset`,
+        system.cpp:222-226)."""
+        self._system_reset = True
+
+    def _apply_pending_toggles(self) -> None:
+        if self._local_on:
+            # stop the mapper (and wait, in online mode) so the map is
+            # frozen, then inform the tracker (system.cpp:204-215)
+            self.mapper.request_stop()
+            self.mapper.wait_until_stopped()
+            self.tracker.only_tracking = True
+            self._local_on = False
+        if self._local_off:
+            self.tracker.only_tracking = False
+            self.mapper.release()
+            self._local_off = False
+        if self._system_reset:
+            self.reset()
+            self._system_reset = False
+
+    def run(self, raw: RawFrame) -> Optional[np.ndarray]:
+        """Single-shot API (System::run, system.cpp:202-233): apply pending
+        localization/reset toggles, track one frame, return its Tcw (None
+        while uninitialized/LOST with no pose)."""
+        self._apply_pending_toggles()
+        self.process(raw)
+        lf = self.tracker.last_frame
+        return None if lf is None else lf.Tcw
+
     def start_threads(self) -> None:
         """Online mode: mapping (and loop closing) run on their own threads
         (system.cpp:92-115); tracking stays on the caller's thread."""
@@ -219,6 +270,15 @@ class System:
         for i, raw in enumerate(dataset):
             if max_frames is not None and i >= max_frames:
                 break
+            # pause/step gate (the reference spin's b_pause/b_step check,
+            # system.cpp:146-158) + pending mode toggles
+            if self.paused and not self.step_once:
+                import time
+
+                while self.paused and not self.step_once:
+                    time.sleep(1e-2)
+            self.step_once = False
+            self._apply_pending_toggles()
             self.process(raw)
         if self.cfg.online:
             self.shutdown()

@@ -48,6 +48,13 @@ class Tracking:
         self.matches_inliers = 0
         self.n_fail_dust = 0
         self.request_reset = False
+        self.vo_mode = False        # mbVO: only-tracking drifted off the map
+        self.only_tracking = False  # localization mode (InformOnlyTracking,
+        #                             system.cpp:213-218): map is frozen,
+        #                             KF creation gated off via the stopped
+        #                             mapper; inlier counting below relaxes
+        #                             the n_obs>0 condition (tracker.cpp:
+        #                             580-585)
         self.last_fail = ""  # diagnostic: why the latest stage rejected
         # init state
         self._init_frame: Optional[FrameData] = None
@@ -410,6 +417,13 @@ class Tracking:
                     mp.last_frame_seen = frame.frame_id
             elif mp is not None and mp.n_obs > 0:
                 n_map += 1
+        if self.only_tracking:
+            # mbVO relaxation (tracker.cpp:553-557): against a frozen map
+            # the bound-inlier count decays as the camera leaves the mapped
+            # region; accept on raw match count and let TrackLocalMap's
+            # widened-window search make the call.
+            self.vo_mode = n_map < self.cfg.tracking.motion.th_nmatch_opt
+            return int(out["n_match"]) > self.cfg.tracking.motion.th_nmatch_proj
         if n_map < self.cfg.tracking.motion.th_nmatch_opt:
             self.last_fail = (f"motion: n_map={n_map}"
                               f"<{self.cfg.tracking.motion.th_nmatch_opt} "
@@ -546,6 +560,10 @@ class Tracking:
                     mp.last_frame_seen = frame.frame_id
             elif mp is not None and mp.n_obs > 0:
                 n_map += 1
+        if self.only_tracking and T0s is None:
+            # same mbVO relaxation as the motion model: the fine stage gates
+            self.vo_mode = n_map < self.cfg.tracking.motion.th_nmatch_opt
+            return int(out["n_match"]) > self.cfg.tracking.motion.th_nmatch_proj
         if n_map < self.cfg.tracking.motion.th_nmatch_opt:
             self.last_fail = (f"ref: n_map={n_map}"
                               f"<{self.cfg.tracking.motion.th_nmatch_opt} "
@@ -699,7 +717,9 @@ class Tracking:
                 continue
             if not frame.outlier[i]:
                 mp.n_found += 1
-                if mp.n_obs > 0:
+                # localization mode counts every non-outlier binding; normal
+                # mode requires the point to be in the map (tracker.cpp:580-585)
+                if self.only_tracking or mp.n_obs > 0:
                     self.matches_inliers += 1
         self.inlier_fine.append(self.matches_inliers)
 
