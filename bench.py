@@ -32,7 +32,9 @@ def main() -> None:
 
     cfg = Config()  # EuRoC operating point: 752x480, 800 features
     H, W = cfg.camera.height, cfg.camera.width
-    B = 16  # streams per batch (v5e throughput knee: 16 beats 8 by ~9%)
+    B = 32  # streams per batch (v5e sweep: 8->408, 16->520, 32->591 f/s
+    #         extract-only; 64 exceeds the Pallas covariance kernel's
+    #         scoped-VMEM budget on the remote compiler)
 
     params = superpoint.init_params(jax.random.PRNGKey(0))
 

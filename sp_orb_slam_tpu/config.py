@@ -101,6 +101,14 @@ class TrackingConfig:
     create_kf_tracked_over_curr: float = 0.4
     create_kf_ref_ratio: float = 0.7
     create_kf_nmatch: int = 5
+    init_min_parallax_deg: float = 2.0  # two-view init gate: median parallax
+    #   of the accepted triangulations must exceed this before the initial
+    #   map is created.  DEVIATION from the reference (which accepts any
+    #   Initialize() success): a near-zero-baseline init births the whole
+    #   initial cloud with 1/parallax-amplified depth error and the map
+    #   starts life poisoned (measured: init at frame 3 of the synthetic
+    #   rail -> Sim3-to-scene p50 residual 0.38; gated init -> 0.1).
+    #   0 disables.
     dust: DustConfig = field(default_factory=DustConfig)
     motion: MotionConfig = field(default_factory=MotionConfig)
     map: LocalMapTrackConfig = field(default_factory=LocalMapTrackConfig)
@@ -140,6 +148,12 @@ class DepthFilterConfig:
     #                                  (rel order) up to the floor — gating
     #                                  must not starve tracking through a
     #                                  degenerate segment
+    starve_bound_th: int = 150       # ... but only when the keyframe is
+    #                                  actually starving: rescue fires only if
+    #                                  its bound map-point count is below this
+    #                                  (a healthy KF with 300+ bindings that
+    #                                  happens to triangulate little new does
+    #                                  NOT need uncertain points force-fed)
 
 
 @dataclass(frozen=True)
@@ -152,6 +166,14 @@ class MappingConfig:
     triangulation_nn_ratio: float = 1.0
     triangulation_num_kfs: int = 8
     matching_method: int = 1  # 1 = ANN/dense (flann in ref), 2 = epipolar walk
+    offline_kf_pace: int = 3  # offline mode: frames the mapper reports
+    #   not-accepting after ingesting a KF, emulating the online backend's
+    #   processing latency (~100-160 ms/KF at 20 fps = 2-3 frames,
+    #   local_mapper.cpp:129-229).  Offline spinOnce makes the mapper
+    #   always-idle, which lets the KF policy's `idle` term fire every
+    #   frame and create consecutive near-zero-baseline keyframe bursts
+    #   (measured: 5 KFs in frames 17-21 of the synthetic rail re-poison
+    #   the BA-repaired map).  0 restores always-idle.
     depth_filter: DepthFilterConfig = dataclasses.field(
         default_factory=DepthFilterConfig)
 

@@ -154,9 +154,12 @@ def pallas_covariance(heat_inv: jnp.ndarray, uv: jnp.ndarray,
     size = 2 * radius + 1
     assert size <= GROUP and size <= PATCH_ROWS - 7
 
-    # keypoints per grid step: the largest divisor of K that is <= 512 and
-    # a multiple of KPG (always exists since K % KPG == 0)
-    chunk = next(c for c in range(min(KPG * 32, K), 0, -KPG)
+    # keypoints per grid step: the largest divisor of K that is <= 256 and
+    # a multiple of KPG (always exists since K % KPG == 0).  256 (not 512)
+    # keeps the scratch slab + blocks inside the 16 MB scoped-VMEM budget
+    # when the kernel is fused into large batched programs (B=32 streams
+    # at 752x480 OOM'd the remote compiler with 512-keypoint chunks).
+    chunk = next(c for c in range(min(KPG * 16, K), 0, -KPG)
                  if K % c == 0)
     khi_n = chunk // KPG
     nchunk = K // chunk

@@ -159,6 +159,7 @@ class LocalMapping:
         self.accepting = True
         self.abort_ba = False
         self.current_kf: Optional[KeyFrame] = None
+        self._pace = 0  # offline not-accepting countdown (offline_kf_pace)
         self.looper = None  # set by System when use_loop
         self._thread = None
         self._shutdown = False
@@ -231,14 +232,32 @@ class LocalMapping:
             self.looper.insert_keyframe(kf.kf_id)
 
     def spin_once(self) -> None:
-        """local_mapper.cpp:47-127 (deterministic offline drive mode)."""
+        """local_mapper.cpp:47-127 (deterministic offline drive mode).
+
+        Offline pacing (offline_kf_pace): after ingesting a keyframe the
+        mapper reports not-accepting for the next `pace` frames, emulating
+        the online backend's processing latency — otherwise the KF
+        policy's `idle` term fires every frame and creates consecutive
+        near-zero-baseline keyframe bursts (NOTES.md round 2)."""
         if self.stopped:
             return
+        processed = False
         while True:
             kf = self._pop_keyframe()
             if kf is None:
-                return
+                break
             self._pipeline(kf, online=False)
+            processed = True
+        pace = self.cfg.mapping.offline_kf_pace
+        if self._thread is None and pace > 0:
+            if processed:
+                self._pace = pace
+                self.accepting = False
+            elif self._pace > 0:
+                self._pace -= 1
+                self.accepting = self._pace <= 0
+            else:
+                self.accepting = True
 
     def start(self) -> None:
         """Spawn the backend thread (online mode; system.cpp:94-97)."""
@@ -390,8 +409,15 @@ class LocalMapping:
             # Starvation guard: pure deferral through a degenerate segment
             # (turn apex) removes exactly the points the new viewing
             # direction needs and tracking dies on the far side.  Keep the
-            # map fed with the *least-uncertain* deferred candidates.
-            if n_direct < dfc.min_direct_inserts:
+            # map fed with the *least-uncertain* deferred candidates —
+            # but ONLY when the keyframe is actually starving (few bound
+            # map points): a healthy KF with hundreds of bindings that
+            # happens to triangulate little new must not get uncertain
+            # points force-fed (measured: that re-poisoned the
+            # BA-repaired map during the frame-17-21 KF burst).
+            n_bound = int((kf.mp_ids >= 0).sum())
+            if (n_direct < dfc.min_direct_inserts
+                    and n_bound < dfc.starve_bound_th):
                 deferred.sort(key=lambda c: c[0])
                 for rel_j, kf2_id, j, i, X in deferred:
                     if n_direct >= dfc.min_direct_inserts:

@@ -120,6 +120,33 @@ class Tracking:
             self.last_frame = frame
             return
 
+        # parallax gate (init_min_parallax_deg): hold the init frame and
+        # keep accumulating baseline until the reconstruction's median
+        # triangulation parallax clears the bar — a near-zero-baseline
+        # init poisons every initial depth by ~1/parallax (NOTES.md)
+        min_par = self.cfg.tracking.init_min_parallax_deg
+        if min_par > 0:
+            tri_mask = np.asarray(out["triangulated"], bool)
+            if tri_mask.any():
+                X = np.asarray(out["points"])[tri_mask]
+                C2 = -(out["R21"].T @ out["t21"])
+                r1 = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-9)
+                d2v = X - C2
+                r2 = d2v / np.maximum(
+                    np.linalg.norm(d2v, axis=1, keepdims=True), 1e-9)
+                cosp = np.clip((r1 * r2).sum(1), -1.0, 1.0)
+                med_deg = float(np.degrees(np.arccos(np.median(cosp))))
+            else:
+                med_deg = 0.0
+            if med_deg < min_par:
+                if self.cfg.verbose:
+                    print(f"[init] frame {frame.frame_id}: parallax "
+                          f"{med_deg:.2f}deg < {min_par}deg, waiting",
+                          flush=True)
+                self.last_frame = frame
+                return
+
         # CreateInitialMap (mono_tracker.cpp:117-224)
         f1.set_pose(np.eye(4, dtype=np.float32))
         Tcw = np.eye(4, dtype=np.float32)
@@ -695,6 +722,47 @@ class Tracking:
             wide = self.k.local_map_track_wide(*args)
             if int(wide["n_inlier"]) > int(out["n_inlier"]):
                 out = wide
+        if (int(out["n_inlier"]) < self.cfg.tracking.map.th_ninlier_high
+                and self.velocity is not None
+                and self.last_frame is not None
+                and self.last_frame.Tcw is not None):
+            # Pose-candidate arbitration (DEVIATION; no reference
+            # counterpart): the dust coarse aligner can confidently snap to
+            # a neighboring 1/8-grid lattice cell — measured as a
+            # translation orthogonal to ground truth at ~5x magnitude with
+            # rotation still exact — and the fine stage then locks onto a
+            # small self-consistent binding subset instead of the map.
+            # When the fine result looks starved, re-run it from the
+            # constant-velocity prediction and keep whichever pose binds
+            # more of the map.  Crucially the retry drops the coarse
+            # stage's inherited bindings (kp2mp0/skip): the aliased
+            # associations are exactly what drags pose optimization back
+            # to the bad pose.
+            Tcw_alt = (self.velocity @ self.last_frame.Tcw).astype(np.float32)
+            alt = self.k.local_map_track_wide(
+                Tcw_alt, *args[1:7],
+                np.zeros_like(args[7]), np.full_like(args[8], -1),
+                *args[9:])
+            if int(alt["n_inlier"]) > int(out["n_inlier"]):
+                out = alt
+        if int(out["n_inlier"]) < self.cfg.tracking.map.th_ninlier_high:
+            # Multi-start rescue: the single LM chain is fragile on a
+            # locally-bent map (structured point-position error makes thin
+            # valleys; measured: from an 11 px-off start one chain kept 24
+            # inliers where a vmapped start fan found the 103-inlier
+            # optimum on the same matches).  Reuse the relocalization
+            # kernel — brute-force local-map matching + the batched
+            # multi-start optimizer — then polish with a fresh wide search.
+            T0s = self._reloc_starts(frame.Tcw)
+            rl = self.k.reloc_track(
+                T0s, args[1], args[2], args[6], frame.desc_dev, frame.uv,
+                frame.cov2_inv, frame.valid)
+            ms = self.k.local_map_track_wide(
+                np.asarray(rl["Tcw"], np.float32), *args[1:7],
+                np.zeros_like(args[7]), np.full_like(args[8], -1),
+                *args[9:])
+            if int(ms["n_inlier"]) > int(out["n_inlier"]):
+                out = ms
         # visible bookkeeping (IncreaseVisible on frustum hits, :798-804)
         for li in np.nonzero(out["mp_visible"][:n])[0]:
             mp = self.map.points.get(pids[li])

@@ -35,7 +35,9 @@ def test_synthetic_vo_end_to_end(small_cfg):
 
     rep = sys_.report()
     assert rep["n_keyframes"] >= 10, rep
-    assert rep["n_points"] > 300, rep
+    # the depth filter + offline KF pacing deliberately insert fewer,
+    # cleaner points than the round-1 fire-hose (which asserted >300)
+    assert rep["n_points"] > 200, rep
     assert sys_.tracker.state == tr.OK, rep
     assert rep["n_lost"] == 0, rep
 
