@@ -101,6 +101,20 @@ class TrackingConfig:
     create_kf_tracked_over_curr: float = 0.4
     create_kf_ref_ratio: float = 0.7
     create_kf_nmatch: int = 5
+    # Offline-mode KF pacing (NOTES.md round 2, open item 4).  In the
+    # reference's online mode the mapper is busy for ~1 KF of work after
+    # each insert, so the always-idle branch of NeedNewKeyFrameOverride
+    # (tracker.cpp:643 `bLocalMappingIdle`) cannot fire back-to-back; the
+    # deterministic offline drive (spinOnce after every frame,
+    # system.cpp:176-178) makes it fire every frame that passes c2, which
+    # bursts low-parallax KFs onto a young map and destabilizes BA.  These
+    # two gates apply ONLY to the bare-idle creation path (never to the
+    # weak-tracking c1b or starvation c3 paths).  0 disables either.
+    create_kf_min_gap: int = 0          # min frames since the last KF
+    create_kf_min_baseline_ratio: float = 0.0  # min baseline(frame, refKF)
+    #   / refKF scene median depth; below ~0.01 local mapping skips the
+    #   pair for triangulation anyway (local_mapper.cpp baseline gate), so
+    #   such a KF adds BA load without adding depth information
     init_min_parallax_deg: float = 2.0  # two-view init gate: median parallax
     #   of the accepted triangulations must exceed this before the initial
     #   map is created.  DEVIATION from the reference (which accepts any
@@ -191,6 +205,9 @@ class ExtractorConfig:
     nms_dist: int = 4
     border: int = 8
     nms_iters: int = 16        # fixed-point iterations of the TPU NMS
+    nms_method: str = "auto"   # "auto" = "pallas" on TPU, "xla" else; both
+    #                            run the same commit/reject fixed point
+    #                            (ops/pallas_nms.py vs ops/nms.py)
     cov_window: int = 8        # flood-fill window radius for covariance
     cov_iters: int = 16        # propagation iterations of the TPU flood fill
     cov_method: str = "auto"   # "auto" = "pallas" on TPU, "windowed" else;

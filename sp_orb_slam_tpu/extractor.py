@@ -44,18 +44,32 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             max_keypoints: int, conf_thresh: float = 0.007,
             nms_dist: int = 4, border: int = 8, nms_iters: int = 16,
             cov_radius: int = 8, cov_iters: int = 16,
-            cov_method: str = "auto",
+            cov_method: str = "auto", nms_method: str = "auto",
             compute_dtype=jnp.float32) -> Features:
     """images: (B, H, W) float32 in [0, 1]."""
     B, H, W = images.shape
     out = superpoint.forward(params, images, conf_thresh=conf_thresh,
                              compute_dtype=compute_dtype)
 
+    if nms_method == "auto":
+        nms_method = ("pallas" if jax.default_backend() == "tpu"
+                      else "xla")
+    if nms_method == "pallas":
+        from sp_orb_slam_tpu.ops import pallas_nms
+
+        alive = pallas_nms.batched_grid_nms(
+            out.score, out.cand_uv, out.cand_valid, dist=nms_dist,
+            iters=nms_iters)
+    else:
+        alive = jax.vmap(partial(nms_ops.greedy_grid_nms, dist=nms_dist,
+                                 iters=nms_iters)
+                         )(out.score, out.cand_uv, out.cand_valid)
     kps = jax.vmap(
-        partial(nms_ops.select_keypoints, num_features=num_features,
-                max_keypoints=max_keypoints, image_hw=(H, W), dist=nms_dist,
-                border=border, nms_iters=nms_iters)
-    )(out.score, out.cand_uv, out.cand_valid)
+        lambda s, cu, cv, al: nms_ops.select_keypoints(
+            s, cu, cv, num_features=num_features,
+            max_keypoints=max_keypoints, image_hw=(H, W), dist=nms_dist,
+            border=border, nms_iters=nms_iters, alive=al)
+    )(out.score, out.cand_uv, out.cand_valid, alive)
 
     desc = jax.vmap(partial(superpoint.sample_descriptors, image_hw=(H, W)))(
         out.coarse_desc, kps.uv)
@@ -99,7 +113,7 @@ def make_extractor(cfg: Config, params):
             conf_thresh=ex.conf_thresh, nms_dist=ex.nms_dist,
             border=ex.border, nms_iters=ex.nms_iters,
             cov_radius=ex.cov_window, cov_iters=ex.cov_iters,
-            cov_method=ex.cov_method,
+            cov_method=ex.cov_method, nms_method=ex.nms_method,
             compute_dtype=dtype)
 
     return run

@@ -49,10 +49,19 @@ def masked_best2(dist: jnp.ndarray, mask: jnp.ndarray):
     """Per-row best & second-best over masked entries.
 
     Returns (best_dist, best_idx, second_dist); masked-out rows get BIG.
+
+    Implemented as three min-reductions instead of `lax.top_k(k=2)`: TPU
+    top_k lowers to a sort and measured ~2x slower at (1024, 1024)
+    (NOTES.md round 2 perf).  Tie semantics match top_k: argmin returns the
+    first minimal index; the second-best excludes only that index, so an
+    equal-distance duplicate still surfaces as `second`.
     """
     d = jnp.where(mask, dist, BIG)
-    neg_top2, idx_top2 = jax.lax.top_k(-d, 2)
-    return -neg_top2[..., 0], idx_top2[..., 0], -neg_top2[..., 1]
+    idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    best = jnp.min(d, axis=-1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    second = jnp.min(jnp.where(cols == idx[..., None], BIG, d), axis=-1)
+    return best, idx, second
 
 
 def resolve_mutual(best_idx: jnp.ndarray, best_dist: jnp.ndarray,
@@ -64,19 +73,21 @@ def resolve_mutual(best_idx: jnp.ndarray, best_dist: jnp.ndarray,
     """
     M = best_idx.shape[0]
     rows = jnp.arange(M, dtype=jnp.int32)
-    col = jnp.where(row_ok, best_idx, num_cols)
-    d = jnp.where(row_ok, best_dist, BIG)
+    cols = jnp.arange(num_cols, dtype=jnp.int32)
+    # Dense (M, N) column-min instead of scatter-min: TPU scatters lower to
+    # serialized updates and measured ~1.3 ms at M=N=1024 where the dense
+    # reduction is a few memory-bound passes (NOTES.md round 2 perf).
+    claim = row_ok[:, None] & (best_idx[:, None] == cols[None, :])
+    dmat = jnp.where(claim, best_dist[:, None], BIG)
     # stage 1: min distance per column
-    min_d = jnp.full((num_cols + 1,), BIG).at[col].min(d)
-    cand = row_ok & (min_d[col] == d)
+    min_d = jnp.min(dmat, axis=0)
     # stage 2: break exact-distance ties toward the smaller row index
-    min_r = jnp.full((num_cols + 1,), M, jnp.int32).at[
-        jnp.where(cand, col, num_cols)].min(jnp.where(cand, rows, M))
-    winner = cand & (min_r[col] == rows)
+    cand = claim & (dmat == min_d[None, :])
+    min_r = jnp.min(jnp.where(cand, rows[:, None], M), axis=0)
+    safe_col = jnp.clip(best_idx, 0, num_cols - 1)
+    winner = row_ok & (min_r[safe_col] == rows)
     match12 = jnp.where(winner, best_idx, -1)
-    match21 = jnp.full((num_cols + 1,), -1, jnp.int32).at[
-        jnp.where(winner, col, num_cols)].set(
-        jnp.where(winner, rows, -1), mode="drop")[:num_cols]
+    match21 = jnp.where(min_r < M, min_r, -1)
     return match12, match21
 
 

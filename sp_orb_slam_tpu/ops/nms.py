@@ -120,13 +120,19 @@ def select_keypoints(score: jnp.ndarray, cand_uv: jnp.ndarray,
                      cand_valid: jnp.ndarray, *, num_features: int,
                      max_keypoints: int, image_hw: tuple[int, int],
                      dist: int = 4, border: int = 8,
-                     nms_iters: int = 16) -> Keypoints:
+                     nms_iters: int = 16, alive: jnp.ndarray = None) -> Keypoints:
     """Full reference keypoint selection for one image: NMS -> score cap ->
-    border filter -> raster-order emission + occ_grid."""
+    border filter -> raster-order emission + occ_grid.
+
+    `alive` optionally injects a precomputed NMS survivor mask (the Pallas
+    kernel path, ops/pallas_nms.py, computes it for the whole batch at once).
+    """
     H, W = image_hw
     hc, wc = score.shape
     K = max_keypoints
-    alive = greedy_grid_nms(score, cand_uv, cand_valid, dist=dist, iters=nms_iters)
+    if alive is None:
+        alive = greedy_grid_nms(score, cand_uv, cand_valid, dist=dist,
+                                iters=nms_iters)
 
     # score-order cap at num_features+1 (the reference loop breaks only after
     # the counter exceeds num_features, sp_extractor.cpp:210-213); the cap is

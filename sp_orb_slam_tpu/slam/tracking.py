@@ -818,19 +818,43 @@ class Tracking:
         ratio_in_common = n_common / total
         idle = self.mapper.accepting if self.mapper is not None else True
         t = self.cfg.tracking
+        # Offline KF pacing (config.py create_kf_min_gap /
+        # create_kf_min_baseline_ratio): gate only the bare-idle creation
+        # path; weak-tracking (c1b) and starvation (c3) always pass.
+        idle_create = idle
+        if idle_create and t.create_kf_min_gap > 0:
+            idle_create = (frame.frame_id
+                           >= self.last_kf_id_frame + t.create_kf_min_gap)
+        if idle_create and t.create_kf_min_baseline_ratio > 0:
+            idle_create = (self._baseline_depth_ratio(frame, ref)
+                           >= t.create_kf_min_baseline_ratio)
         c1a = frame.frame_id >= self.last_kf_id_frame + self.cfg.camera.fps
         ratio_in_curr = self.matches_inliers / max(frame.count, 1)
         c1b = (ratio_in_common < t.create_kf_tracked_over_ref
                and ratio_in_curr < t.create_kf_tracked_over_curr)
         c2 = ratio_in_common < t.create_kf_ref_ratio
         c3 = self.matches_inliers < t.create_kf_nmatch
-        if ((c1a or c1b or idle) and c2) or c3:
+        if ((c1a or c1b or idle_create) and c2) or c3:
             if idle:
                 return True
             if self.mapper is not None:
                 self.mapper.interrupt_ba()
             return bool(c3)
         return False
+
+    def _baseline_depth_ratio(self, frame: FrameData, ref) -> float:
+        """Baseline to the reference KF over its scene median depth — the
+        same quantity local mapping uses to skip near-zero-baseline pairs
+        for triangulation (local_mapper.cpp baseline/medianDepth gate)."""
+        Ow_f = -frame.Tcw[:3, :3].T @ frame.Tcw[:3, 3]
+        baseline = float(np.linalg.norm(Ow_f - ref.Ow))
+        R2, t2 = ref.Tcw[2, :3], ref.Tcw[2, 3]
+        zs = sorted(float(R2 @ self.map.pool.pos[pid] + t2)
+                    for pid in ref.mp_ids if pid >= 0)
+        if not zs:
+            return float("inf")
+        med = zs[(len(zs) - 1) // 2]
+        return float("inf") if med <= 0 else baseline / med
 
     def _create_keyframe(self, frame: FrameData) -> None:
         """CreateNewKeyFrameOverride (tracker.cpp:744-766)."""

@@ -108,3 +108,65 @@ def test_local_points_union_of_local_kfs():
     world.add_observation(mp1, kf0.kf_id, 2)  # unbound extra point on kf0
     tr._update_local_map(frame)
     assert set(tr.local_pids) == {mp0.pid, mp1.pid}
+
+
+def _kf_policy_world():
+    """Ref KF with 10 tracked points of which the frame binds 6: c2 fires
+    (0.6 < 0.7) but c1b does not (0.6 >= 0.5), c3 does not (6 >= 5), c1a
+    does not (frame close to the KF).  With mapper=None (idle) only the
+    bare-idle creation path is live -> isolates the pacing gates."""
+    world, (kf0,) = _world_with_kfs(1)
+    frame = _dummy_frame(2)
+    for i in range(6):
+        _bind(world, frame, i, kf0, i)
+    for i in range(6, 10):
+        mp = world.create_point(np.array([0, 0, 5.0], np.float32), kf0.kf_id)
+        world.add_observation(mp, kf0.kf_id, i)
+    return world, kf0, frame
+
+
+def _policy_tracker(world, kf0, overrides=None):
+    cfg = _mini_cfg()
+    if overrides:
+        cfg = _merge_dataclass(cfg, {"tracking": overrides})
+    tr = Tracking(cfg, world, kernels=None)
+    tr.ref_kf = kf0.kf_id
+    tr.last_kf_id_frame = kf0.frame_id
+    tr.matches_inliers = 6
+    return tr
+
+
+def test_kf_pacing_gates_idle_path():
+    """create_kf_min_gap / create_kf_min_baseline_ratio gate ONLY the
+    bare-idle creation path (config.py; NOTES.md round 2 item 4)."""
+    world, kf0, frame = _kf_policy_world()
+
+    # defaults (gates off): idle path creates
+    assert _policy_tracker(world, kf0)._need_new_keyframe(frame)
+
+    # min_gap: frame 2 is closer than 5 frames to KF at frame 0 -> blocked
+    tr = _policy_tracker(world, kf0, {"create_kf_min_gap": 5})
+    assert not tr._need_new_keyframe(frame)
+    far = _dummy_frame(7)
+    far.mp_ids[:] = frame.mp_ids
+    assert tr._need_new_keyframe(far)
+
+    # baseline ratio: frame at the ref KF's optical centre -> ratio 0 ->
+    # blocked; translated by 0.5 against median depth 5 -> 0.1 -> passes
+    tr = _policy_tracker(world, kf0,
+                         {"create_kf_min_baseline_ratio": 0.05})
+    assert not tr._need_new_keyframe(frame)
+    moved = _dummy_frame(2)
+    moved.mp_ids[:] = frame.mp_ids
+    moved.Tcw = np.eye(4, dtype=np.float32)
+    moved.Tcw[0, 3] = 0.5
+    assert tr._need_new_keyframe(moved)
+
+
+def test_kf_pacing_never_blocks_starvation():
+    """The c3 (starvation) path bypasses both gates."""
+    world, kf0, frame = _kf_policy_world()
+    tr = _policy_tracker(world, kf0, {"create_kf_min_gap": 50,
+                                      "create_kf_min_baseline_ratio": 5.0})
+    tr.matches_inliers = 2  # < create_kf_nmatch=5 -> c3
+    assert tr._need_new_keyframe(frame)
