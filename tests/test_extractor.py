@@ -262,3 +262,35 @@ def test_pallas_covariance_matches_windowed():
                                rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(ci_p), np.asarray(ci_w),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_nms_matches_golden():
+    """The Pallas NMS kernel (interpret mode on CPU) equals both the XLA
+    fixed point and the sequential golden greedy NMS, including exact-score
+    tie-breaks by raster index."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sp_orb_slam_tpu.ops import pallas_nms
+
+    rng = np.random.default_rng(7)
+    B, hc, wc = 2, 60, 94
+    score = rng.random((B, hc, wc)).astype(np.float32)
+    u = (np.arange(wc)[None, None, :] * 8
+         + rng.integers(0, 8, (B, hc, wc))).astype(np.int32)
+    v = (np.arange(hc)[None, :, None] * 8
+         + rng.integers(0, 8, (B, hc, wc))).astype(np.int32)
+    uv = np.stack([u, v], -1)
+    valid = rng.random((B, hc, wc)) < 0.5
+    score[valid] = np.round(score[valid] * 50) / 50  # force score ties
+
+    with pltpu.force_tpu_interpret_mode():
+        alive_p = np.asarray(pallas_nms.batched_grid_nms(
+            jnp.asarray(score), jnp.asarray(uv), jnp.asarray(valid),
+            dist=4, iters=16))
+    alive_x = np.asarray(jax.vmap(
+        partial(nms_ops.greedy_grid_nms, dist=4, iters=16)
+    )(jnp.asarray(score), jnp.asarray(uv), jnp.asarray(valid)))
+    gold = np.stack([nms_ops.greedy_grid_nms_reference(
+        score[b], uv[b], valid[b], dist=4) for b in range(B)])
+    assert np.array_equal(alive_p, alive_x)
+    assert np.array_equal(alive_p, gold)
