@@ -227,6 +227,17 @@ class LoopConfig:
     covisibility_consistency_th: int = 3
     kf_gap: int = 10                   # skip if <10 KFs since last loop (:132)
     global_desc_dim: int = 4096
+    # Place-recognition descriptor source.  The reference's NetVLAD is an
+    # empty stub — descriptors come from precomputed .bin files
+    # (data_loader.cc:87-109); here they are computed in-process
+    # (models/netvlad.py) when the dataset doesn't provide them:
+    #   "auto"    — dataset-provided if present, else computed per keyframe
+    #   "dataset" — only dataset-provided (reference Export-loader parity)
+    #   "vlad"    — always computed (ignore dataset descriptors)
+    global_desc_source: str = "auto"
+    netvlad_weights: str = ""          # .npz (centroids/proj/alpha); seeded
+    #                                    random init when empty
+    netvlad_clusters: int = 64
 
 
 @dataclass(frozen=True)

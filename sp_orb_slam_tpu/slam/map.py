@@ -150,6 +150,9 @@ class Map:
         # correction in online mode (mMutexMapUpdate, map.h:70-74;
         # tracker.cpp:189, optimizer.cpp:740, loop_closer_vlad.cpp:545)
         self.update_lock = threading.RLock()
+        # optional FrameData -> (D,) global-descriptor callable (see
+        # add_keyframe); None = descriptors come from the dataset only
+        self.global_desc_fn = None
 
     # -- map points ---------------------------------------------------------
 
@@ -260,6 +263,14 @@ class Map:
     # -- keyframes ----------------------------------------------------------
 
     def add_keyframe(self, frame: FrameData) -> KeyFrame:
+        # place-recognition hook (System wires it when loop closing needs
+        # computed global descriptors, models/netvlad.py): promotion is
+        # where the descriptor d2h is already paid, so the in-process VLAD
+        # costs one small host matmul per keyframe
+        if self.global_desc_fn is not None:
+            gd = self.global_desc_fn(frame)
+            if gd is not None:
+                frame.global_desc = gd
         kf = KeyFrame(self.next_kf_id, frame)
         self.next_kf_id += 1
         self.keyframes[kf.kf_id] = kf

@@ -57,6 +57,8 @@ class System:
 
             self.looper = LoopClosing(cfg, self.map, self.kernels, self.mapper)
             self.mapper.looper = self.looper
+            if cfg.loop.global_desc_source != "dataset":
+                self.map.global_desc_fn = self._make_global_desc_fn()
         self.frame_id = 0
         # interactive gating + mode toggles (the reference's global::b_*
         # atomics written by the viewer menu, viz/viewer.cpp:56-126, and
@@ -103,6 +105,27 @@ class System:
             return cam_ops.bilinear_remap(img, grid)
 
         return run
+
+    def _make_global_desc_fn(self):
+        """In-process NetVLAD place-recognition hook (models/netvlad.py):
+        runs at keyframe promotion in Map.add_keyframe.  "auto" fills only
+        frames the dataset left without a descriptor; "vlad" always
+        recomputes (config.py LoopConfig.global_desc_source)."""
+        from sp_orb_slam_tpu.models import netvlad
+
+        lc = self.cfg.loop
+        params = (netvlad.load_params(lc.netvlad_weights)
+                  if lc.netvlad_weights else
+                  netvlad.init_params(n_clusters=lc.netvlad_clusters,
+                                      out_dim=lc.global_desc_dim))
+
+        def fn(frame):
+            if frame.global_desc is not None and lc.global_desc_source != "vlad":
+                return None
+            return netvlad.global_descriptor_np(
+                params, frame.desc_host, frame.valid)
+
+        return fn
 
     # ------------------------------------------------------------ frame feed
 
