@@ -32,9 +32,9 @@ def main() -> None:
 
     cfg = Config()  # EuRoC operating point: 752x480, 800 features
     H, W = cfg.camera.height, cfg.camera.width
-    B = 32  # streams per batch (v5e sweep: 8->408, 16->520, 32->591 f/s
-    #         extract-only; 64 exceeds the Pallas covariance kernel's
-    #         scoped-VMEM budget on the remote compiler)
+    B = 32  # streams per batch (v5e extract+match sweep after the round-2
+    #         matcher/NMS work: 32 -> 686 f/s, 48 -> 643, 64 -> 661;
+    #         32 is the throughput knee)
 
     params = superpoint.init_params(jax.random.PRNGKey(0))
 
