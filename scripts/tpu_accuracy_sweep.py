@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""10-seed synthetic-rail accuracy sweep on a chosen backend (VERDICT r2 #1).
+
+The north-star accuracy number is a TPU number, but through round 2 the
+accuracy rail only ever passed on the CPU backend: the default TPU matmul
+precision truncates the optimizer Hessian/Schur accumulations to bf16
+(round-2 NOTES measured ATE 0.22-0.31 on TPU vs 0.17-0.21 on CPU for the
+same rail).  Round 3 pins the whole solver path to HIGHEST f32
+(utils/precision.py); this script is the acceptance gate: run it through
+the axon TPU backend and through the forced-CPU backend and compare.
+
+Usage:
+    python scripts/tpu_accuracy_sweep.py                  # default backend
+                                                          # (TPU under axon)
+    JAX_PLATFORM_NAME=cpu python scripts/tpu_accuracy_sweep.py
+    python scripts/tpu_accuracy_sweep.py --seeds 1,4 --frames 80
+
+One process runs every seed so kernels compile once per shape (first TPU
+compile over the tunnel costs minutes; subsequent seeds reuse).  Prints a
+per-seed table plus one summary JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="1,2,3,4,5,6,7,8,9,10")
+    ap.add_argument("--frames", type=int, default=80)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    try:  # persistent compile cache: repeat sweeps skip the tunnel compiles
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+    except Exception:
+        pass
+    backend = jax.default_backend()
+
+    import numpy as np
+
+    from sp_orb_slam_tpu.config import Config, _merge_dataclass
+    from sp_orb_slam_tpu.eval.ate import ate_sim3
+    from sp_orb_slam_tpu.io.dataset import SyntheticDataset
+    from sp_orb_slam_tpu.slam import tracking as tr
+    from sp_orb_slam_tpu.slam.system import System
+
+    # the round-2 NOTES rail: 80 frames, 250 features, small camera
+    cfg = _merge_dataclass(Config(), {
+        "dataset": "synthetic",
+        "camera": {"width": 320, "height": 240, "fx": 260.0, "fy": 260.0,
+                   "cx": 160.0, "cy": 120.0, "fps": 20.0},
+        "tracking": {"num_features": 250},
+        "runtime": {"max_keypoints": 256, "dust_points_cap": 128,
+                    "local_points_cap": 1024, "ba_kfs_cap": 32,
+                    "ba_points_cap": 1024, "ba_obs_cap": 4096,
+                    "init_ransac_iters": 60},
+    })
+
+    rows = []
+    for seed in [int(s) for s in args.seeds.split(",") if s]:
+        t0 = time.time()
+        ds = SyntheticDataset(cfg, n_frames=args.frames, n_points=5000,
+                              seed=seed, pixel_noise=0.3)
+        sys_ = System(cfg)
+        sys_.spin(ds)
+        rep = sys_.report()
+        ts_est, poses_est = sys_.trajectory()
+        ts_gt, poses_gt = ds.gt_trajectory()
+        res = ate_sim3(ts_est, poses_est[:, :3, 3], ts_gt, poses_gt[:, :3, 3])
+        row = dict(seed=seed, ate_rmse=round(float(res.rmse), 4),
+                   ate_mean=round(float(res.mean), 4),
+                   n_lost=rep["n_lost"], n_kfs=rep["n_keyframes"],
+                   min_fine_inliers=int(min(sys_.tracker.inlier_fine[5:],
+                                            default=0)),
+                   ok=bool(sys_.tracker.state == tr.OK),
+                   wall_s=round(time.time() - t0, 1))
+        rows.append(row)
+        print(f"  seed {seed:2d}: ATE {row['ate_rmse']:.3f} "
+              f"lost={row['n_lost']} kfs={row['n_kfs']} "
+              f"min_inl={row['min_fine_inliers']} ({row['wall_s']}s)",
+              flush=True)
+
+    ates = np.array([r["ate_rmse"] for r in rows])
+    summary = dict(backend=backend, n_seeds=len(rows),
+                   ate_rmse_mean=round(float(ates.mean()), 4),
+                   ate_rmse_max=round(float(ates.max()), 4),
+                   n_lost_total=int(sum(r["n_lost"] for r in rows)),
+                   n_failed=int(sum(not r["ok"] for r in rows)),
+                   rows=rows)
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,10 @@ class CameraConfig:
     p2: float = 0.0
     k3: float = 0.0
     fps: float = 20.0
-    is_rgb: bool = True
+    is_rgb: bool = True   # parsed for YAML parity; inert here (loaders
+    #                       decode straight to grayscale; the reference
+    #                       only uses it to pick RGB2GRAY vs BGR2GRAY,
+    #                       tracker.cpp:122)
 
 
 @dataclass(frozen=True)
@@ -68,7 +71,11 @@ class MotionConfig:
     th_window_size: int = 15
     th_nmatch_proj: int = 20
     th_nmatch_opt: int = 10
-    th_nn_ratio: float = 1.0
+    th_nn_ratio: float = 1.0  # parity-dead, as in the reference: mfNNratio
+    #                           is only read by SearchForInitialization
+    #                           (sp_matcher.cpp:715), whose call site passes
+    #                           an explicit 0.9; the motion/map projection
+    #                           matchers never consult it
 
 
 @dataclass(frozen=True)
@@ -81,7 +88,7 @@ class LocalMapTrackConfig:
     #                               (reference precedent: th=5 after reloc)
     th_ninlier_high: int = 50
     th_ninlier_low: int = 6
-    th_nn_ratio: float = 1.0
+    th_nn_ratio: float = 1.0  # parity-dead (see MotionConfig.th_nn_ratio)
     match_adaptive: bool = True
 
 
@@ -90,7 +97,11 @@ class TrackingConfig:
     """Reference: config.cpp `namespace tracking` + YAML tracking block."""
 
     num_features: int = 800
-    scale_check: bool = False
+    scale_check: bool = False  # parity no-op: gates octave filtering in
+    #                            GetFeaturesInArea (sp_matcher.cpp:369-372)
+    #                            which is inert with the 1-level SP pyramid
+    #                            (every keypoint is octave 0); False in both
+    #                            shipped configs
     # coarse tracker variant: "dust" (1/8 dustbin alignment, the production
     # path, tracker_dust.cpp:22-228) or "heat" (full-resolution heat
     # alignment, the retained experimental trackFrameHeat variant,
@@ -177,7 +188,10 @@ class MappingConfig:
     culling_kf: bool = True
     kf_culling_cov_ratio: float = 0.95
     kf_culling_num_obs: int = 5
-    triangulation_nn_ratio: float = 1.0
+    triangulation_nn_ratio: float = 1.0  # parity-dead, as in the reference:
+    #                                      SearchForTriByFlann hardcodes its
+    #                                      0.7 ratio (sp_matcher.cpp:202-207)
+    #                                      and ignores the constructed value
     triangulation_num_kfs: int = 8
     matching_method: int = 1  # 1 = ANN/dense (flann in ref), 2 = epipolar walk
     offline_kf_pace: int = 3  # offline mode: frames the mapper reports

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from sp_orb_slam_tpu.geometry.triangulation import triangulate
+from sp_orb_slam_tpu.utils.precision import jit_f32
 
 TH_H = 5.991
 TH_F = 3.841
@@ -261,7 +262,7 @@ class InitResult(NamedTuple):
     triangulated: jnp.ndarray  # (N,) bool per match
 
 
-@partial(jax.jit, static_argnames=("iters", "min_triangulated"))
+@partial(jit_f32, static_argnames=("iters", "min_triangulated"))
 def initialize(uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
                K: jnp.ndarray, key: jax.Array, *, iters: int = 200,
                sigma: float = 1.0, min_parallax: float = 1.0,

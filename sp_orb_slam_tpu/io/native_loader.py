@@ -156,14 +156,24 @@ class PngPrefetcher:
 
 
 def iter_gray_images(paths: List[str]):
-    """Best decode path: native prefetch ring when available, PIL fallback."""
+    """Best decode path: native prefetch ring when available, PIL fallback.
+
+    A mid-stream decode failure (one corrupt/odd-sized PNG after k frames
+    were already yielded) must NOT restart the sequence: the consumer zips
+    these images with timestamp entries, so re-yielding from index 0 would
+    silently pair every later timestamp with the wrong image.  The PIL
+    fallback therefore resumes at the first un-yielded index.
+    """
+    emitted = 0
     if available():
         try:
-            yield from PngPrefetcher(paths)
+            for img in PngPrefetcher(paths):
+                yield img
+                emitted += 1
             return
         except (RuntimeError, IOError):
-            pass  # fall through to PIL (e.g. non-PNG input)
+            pass  # fall through to PIL (e.g. non-PNG input), resuming
     from PIL import Image
 
-    for p in paths:
+    for p in paths[emitted:]:
         yield np.asarray(Image.open(p).convert("L"))

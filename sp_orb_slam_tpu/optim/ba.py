@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from sp_orb_slam_tpu.geometry import se3
 from sp_orb_slam_tpu.optim import lm
 from sp_orb_slam_tpu.optim.pose import _proj_jacobian
+from sp_orb_slam_tpu.utils.precision import jit_f32
 
 CHI2_MONO = 5.991
 HUBER_MONO = float(jnp.sqrt(5.991))
@@ -177,7 +178,7 @@ def _lm_phase(poses, points, obs_cam, obs_pt, obs_uv, obs_w, K, active, fixed,
     return poses, points
 
 
-@partial(jax.jit, static_argnames=("iters1", "iters2", "two_phase", "robust"))
+@partial(jit_f32, static_argnames=("iters1", "iters2", "two_phase", "robust"))
 def bundle_adjust(poses, fixed, points, pt_valid, obs_cam, obs_pt, obs_uv,
                   obs_w, obs_valid, K, *, iters1: int = 5, iters2: int = 10,
                   two_phase: bool = True, robust: bool = True) -> BAResult:

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from sp_orb_slam_tpu.geometry import se3
 from sp_orb_slam_tpu.optim import lm
+from sp_orb_slam_tpu.utils.precision import jit_f32
 
 CHI2_MONO = 5.991
 HUBER_MONO = jnp.sqrt(5.991)
@@ -114,7 +115,7 @@ def _lm_reproj_rounds(Tcw0, Xw, obs, w_info, K, active, *, iters: int,
     return Tcw
 
 
-@partial(jax.jit, static_argnames=("rounds", "iters"))
+@partial(jit_f32, static_argnames=("rounds", "iters"))
 def pose_optimization(Tcw0: jnp.ndarray, Xw: jnp.ndarray, obs: jnp.ndarray,
                       cov2_inv: jnp.ndarray, valid: jnp.ndarray,
                       K: jnp.ndarray, *, rounds: int = 4,
@@ -153,7 +154,7 @@ def pose_optimization(Tcw0: jnp.ndarray, Xw: jnp.ndarray, obs: jnp.ndarray,
     return PoseOptResult(Tcw, inlier, jnp.sum(inlier.astype(jnp.int32)), chi2)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jit_f32, static_argnames=("iters",))
 def pose_optimization_post(Tcw0, Xw, obs, cov2_inv, valid, K, *,
                            iters: int = 10) -> PoseOptResult:
     """Optimizer::PoseOptimizationDustPost (optimizer_dust.cpp:35-168):
@@ -198,7 +199,7 @@ class DustResult(NamedTuple):
     proj_uv: jnp.ndarray   # (N, 2) dust-grid projections at the final pose
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jit_f32, static_argnames=("iters",))
 def pose_optimization_dust(Tcw0: jnp.ndarray, Xw: jnp.ndarray,
                            valid: jnp.ndarray, dust: jnp.ndarray,
                            K_full: jnp.ndarray, *, iters: int = 40,
@@ -272,7 +273,7 @@ def pose_optimization_dust(Tcw0: jnp.ndarray, Xw: jnp.ndarray,
                       jnp.stack([u, v], axis=-1))
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jit_f32, static_argnames=("iters",))
 def pose_optimization_heat(Tcw0: jnp.ndarray, Xw: jnp.ndarray,
                            valid: jnp.ndarray, heat: jnp.ndarray,
                            K_full: jnp.ndarray, *, iters: int = 40,

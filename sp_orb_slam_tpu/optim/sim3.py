@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from sp_orb_slam_tpu.geometry import se3
 from sp_orb_slam_tpu.optim import lm
+from sp_orb_slam_tpu.utils.precision import jit_f32
 
 _EPS = 1e-8
 
@@ -138,7 +139,7 @@ class Sim3RansacResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("iters", "min_inliers"))
+@partial(jit_f32, static_argnames=("iters", "min_inliers"))
 def sim3_ransac(X1, X2, uv1, uv2, valid, K_intr, key, *, iters: int = 300,
                 min_inliers: int = 20, chi2_th: float = 9.210):
     """Sim3Solver RANSAC: X1/X2 (N, 3) camera-frame points of KF1/KF2 for
@@ -181,7 +182,7 @@ def sim3_ransac(X1, X2, uv1, uv2, valid, K_intr, key, *, iters: int = 300,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jit_f32, static_argnames=("iters",))
 def optimize_sim3(R0, t0, s0, X1, X2, uv1, uv2, w1, w2, valid, K_intr, *,
                   iters: int = 10, huber: float = 3.1622776601683795):
     """Optimizer::OptimizeSim3 (optimizer.cpp:1062-1254): refine S21 over
@@ -264,7 +265,7 @@ def optimize_sim3(R0, t0, s0, X1, X2, uv1, uv2, w1, w2, valid, K_intr, *,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jit_f32, static_argnames=("iters",))
 def optimize_pose_graph(xi_nodes, fixed, edge_i, edge_j, edge_meas,
                         edge_valid, *, iters: int = 20):
     """Sim3 pose graph: nodes xi (N, 7) = log Siw; edges measure

@@ -29,7 +29,9 @@ def main(argv=None) -> int:
                     help="SuperPoint checkpoint (.pt/.pth/.npz); random "
                          "weights if omitted (only sensible for --dataset "
                          "synthetic, which injects features)")
-    ap.add_argument("--output", default="./out")
+    ap.add_argument("--output", default=None,
+                    help="trajectory output dir (default: config "
+                         "output_path, the reference's common/output_path)")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--loop", action="store_true", help="enable loop closing")
     ap.add_argument("--synthetic-frames", type=int, default=120)
@@ -49,6 +51,8 @@ def main(argv=None) -> int:
     if args.loop:
         overrides["use_loop"] = True
     cfg = load_config(args.config, overrides)
+    if args.output is None:
+        args.output = cfg.output_path
 
     params = None
     if args.weights:

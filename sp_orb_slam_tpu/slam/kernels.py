@@ -38,6 +38,7 @@ from sp_orb_slam_tpu.geometry.triangulation import (depth_and_tau,
                                                     triangulation_gates)
 from sp_orb_slam_tpu.ops import matching
 from sp_orb_slam_tpu.optim import pose as pose_opt
+from sp_orb_slam_tpu.utils.precision import jit_f32
 
 
 # ---------------------------------------------------------------------------
@@ -422,7 +423,7 @@ class TrackingKernels:
 
         d = cfg.tracking.dust
 
-        @jax.jit
+        @jit_f32
         def dust_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, dust,
                     occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid):
             out = dust_track_body(
@@ -432,7 +433,7 @@ class TrackingKernels:
                 chi2_inlier=d.chi2_inlier)
             return self.dust_layout.pack(**out)
 
-        @jax.jit
+        @jit_f32
         def heat_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, heat,
                     occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid):
             out = heat_track_body(
@@ -442,7 +443,7 @@ class TrackingKernels:
                 chi2_inlier=cfg.tracking.heat_chi2_inlier)
             return self.dust_layout.pack(**out)
 
-        @jax.jit
+        @jit_f32
         def motion_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, kp_desc,
                       kp_uv, kp_cov2_inv, kp_valid):
             out = motion_track_body(
@@ -452,14 +453,14 @@ class TrackingKernels:
                 n_retry_th=cfg.tracking.motion.th_nmatch_proj)
             return self.track_layout.pack(**out)
 
-        @jax.jit
+        @jit_f32
         def ref_fn(Tcw0, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
                    kp_cov2_inv, kp_valid):
             out = ref_track_body(Tcw0, mp_pos, mp_desc, mp_valid, kp_desc,
                                  kp_uv, kp_cov2_inv, kp_valid, self.K_intr)
             return self.track_layout.pack(**out)
 
-        @jax.jit
+        @jit_f32
         def reloc_fn(T0s, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
                      kp_cov2_inv, kp_valid):
             out = reloc_track_body(T0s, mp_pos, mp_desc, mp_valid, kp_desc,
@@ -468,7 +469,7 @@ class TrackingKernels:
 
         m = cfg.tracking.map
 
-        @jax.jit
+        @jit_f32
         def local_fn(Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin,
                      mp_dmax, mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
                      kp_cov2_inv, kp_valid):
@@ -481,7 +482,7 @@ class TrackingKernels:
                 c2_thresh=cfg.tracking.dust.c2_thresh)
             return self.local_layout.pack(**out)
 
-        @jax.jit
+        @jit_f32
         def local_wide_fn(Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin,
                           mp_dmax, mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
                           kp_cov2_inv, kp_valid):
@@ -505,7 +506,7 @@ class TrackingKernels:
             ("triangulated", (K,), bool), ("match12", (K,), int),
             ("n_matches", (), int)])
 
-        @jax.jit
+        @jit_f32
         def init_fn(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc, kp2_uv,
                     kp2_valid, key):
             out = init_body(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc,
@@ -520,7 +521,7 @@ class TrackingKernels:
             ("z1", (K,), float), ("tau1", (K,), float),
             ("z2", (K,), float), ("tau2", (K,), float)])
 
-        @jax.jit
+        @jit_f32
         def tri_fn(Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
                    kp2_uv, kp2_desc, kp2_cov2_inv, kp2_free):
             out = triangulate_body(
@@ -533,7 +534,7 @@ class TrackingKernels:
         self.fuse_layout = Layout([
             ("best_idx", (L,), int), ("best_dist", (L,), float)])
 
-        @jax.jit
+        @jit_f32
         def fuse_fn(Tcw, mp_pos, mp_desc, mp_normal, mp_dmin, mp_dmax,
                     mp_valid, kp_uv, kp_desc, kp_valid):
             out = fuse_body(Tcw, mp_pos, mp_desc, mp_normal, mp_dmin,
@@ -559,7 +560,7 @@ class TrackingKernels:
             ("cov2_inv", (K, 2), float), ("occ_grid", (hc, wc), int),
             ("count", (), int)])
 
-        @jax.jit
+        @jit_f32
         def feat_fetch_fn(uv, score, response, valid, cov2_inv, occ_grid,
                           count):
             return self.feat_layout.pack(

@@ -99,10 +99,8 @@ def _next_pow2(x: int) -> int:
     return n
 
 
-def run_global_ba(world: Map, kernels: TrackingKernels, iters: int = 20,
-                  caps=None) -> None:
-    """GlobalBundleAdjustemnt (optimizer.cpp:42-229): all KFs + points,
-    single-phase robust Huber, unit information (single-level sigma).
+def assemble_global_ba(world: Map, caps=None) -> dict:
+    """Snapshot the full-map BA problem (call holding the map lock).
 
     Capacities auto-size to the next power of two (a truncated global BA
     optimizes a subset against partial constraints and *corrupts* the rest;
@@ -118,19 +116,118 @@ def run_global_ba(world: Map, kernels: TrackingKernels, iters: int = 20,
      obs_valid, kf_index, pt_index, obs_ref, dropped) = _assemble_ba(
         world, kf_ids, [], pids, caps)
     obs_w[:] = 1.0  # optimizer.cpp:131-132 uses pyramid sigma (= 1), not cov
-    res = ba_mod.bundle_adjust(
-        poses, fixed, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
-        obs_valid, kernels.K_intr, iters1=iters, two_phase=False, robust=True)
-    # plain BA does not erase observations (optimizer.cpp:42-229)
+    return dict(poses=poses, fixed=fixed, points=points, pt_valid=pt_valid,
+                obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv, obs_w=obs_w,
+                obs_valid=obs_valid, kf_index=kf_index, pt_index=pt_index)
+
+
+def solve_global_ba(problem: dict, kernels: TrackingKernels, iters: int = 20):
+    """The device solve — safe to run OUTSIDE the map lock (the problem is
+    a snapshot; the transient GBA thread runs exactly this while tracking
+    and mapping keep advancing, loop_closer_vlad.cpp:753-849)."""
+    p = problem
+    return ba_mod.bundle_adjust(
+        p["poses"], p["fixed"], p["points"], p["pt_valid"], p["obs_cam"],
+        p["obs_pt"], p["obs_uv"], p["obs_w"], p["obs_valid"], kernels.K_intr,
+        iters1=iters, two_phase=False, robust=True)
+
+
+def apply_global_ba_direct(world: Map, problem: dict, res) -> None:
+    """Direct write-back (the nLoopKF == 0 path of optimizer.cpp:200-228:
+    init-time GBA where nothing ran concurrently).  Plain BA does not erase
+    observations (optimizer.cpp:42-229)."""
     poses_np = np.asarray(res.poses)
     points_np = np.asarray(res.points)
-    for k, i in kf_index.items():
+    fixed = problem["fixed"]
+    for k, i in problem["kf_index"].items():
         if not fixed[i]:
             world.keyframes[k].set_pose(poses_np[i])
-    for p, i in pt_index.items():
+    for p, i in problem["pt_index"].items():
         mp = world.points.get(p)
         if mp is not None and not mp.bad:
             world.pool.pos[p] = points_np[i]
+
+
+def apply_global_ba_staged(world: Map, problem: dict, res,
+                           loop_kf_id: int) -> None:
+    """Staged write-back with spanning-tree propagation — the transient-GBA
+    commit phase (RunGlobalBundleAdjustment, loop_closer_vlad.cpp:771-849).
+
+    Call holding the map lock with the mapper stopped.  Keyframes and
+    points created *while the solve ran* are not in the problem: a new KF
+    inherits its correction through its spanning-tree parent
+    (T_child_gba = T_child * T_parent^-1 * T_parent_gba, measured in the
+    un-corrected frame, :783-795); a new point re-projects through its
+    reference KF's pre/post-GBA pose pair (:815-845)."""
+    poses_np = np.asarray(res.poses)
+    points_np = np.asarray(res.points)
+    fixed = problem["fixed"]
+    kf_index = problem["kf_index"]
+    # stage the solved poses (mTcwGBA / mnBAGlobalForKF)
+    for k, i in kf_index.items():
+        kf = world.keyframes.get(k)
+        if kf is None:
+            continue
+        kf.Tcw_gba = kf.Tcw.copy() if fixed[i] else poses_np[i].copy()
+        kf.ba_global_for = loop_kf_id
+    # BFS the spanning tree from the origin (FIFO like the reference's
+    # lpKFtoCheck): children created during GBA chain through their parent's
+    # *current* (pre-commit) pose, then the parent commits
+    from collections import deque
+
+    queue = deque([world.kf_origin])
+    while queue:
+        kid = queue.popleft()
+        kf = world.keyframes.get(kid)
+        if kf is None:
+            continue
+        Twc = np.linalg.inv(kf.Tcw.astype(np.float64))
+        for c in kf.children:
+            child = world.keyframes.get(c)
+            if child is None:
+                continue
+            if child.ba_global_for != loop_kf_id:
+                if kf.Tcw_gba is None:
+                    continue  # parent untouched: nothing to chain
+                Tchildc = child.Tcw.astype(np.float64) @ Twc
+                child.Tcw_gba = (
+                    Tchildc @ kf.Tcw_gba.astype(np.float64)).astype(np.float32)
+                child.ba_global_for = loop_kf_id
+            queue.append(c)
+        if kf.Tcw_gba is not None and kf.ba_global_for == loop_kf_id:
+            kf.Tcw_bef_gba = kf.Tcw.copy()
+            kf.set_pose(kf.Tcw_gba)
+    # points: participants take the solved position; points born during the
+    # solve re-project through their reference keyframe's pose pair
+    pt_index = problem["pt_index"]
+    for p, mp in list(world.points.items()):
+        if mp.bad:
+            continue
+        i = pt_index.get(p)
+        if i is not None:
+            world.pool.pos[p] = points_np[i]
+            world.update_normal_and_depth(mp)
+            continue
+        ref = world.keyframes.get(mp.ref_kf)
+        if (ref is None or ref.ba_global_for != loop_kf_id
+                or ref.Tcw_bef_gba is None):
+            continue
+        Tb = ref.Tcw_bef_gba.astype(np.float64)
+        Xc = Tb[:3, :3] @ world.pool.pos[p].astype(np.float64) + Tb[:3, 3]
+        Twc_new = np.linalg.inv(ref.Tcw.astype(np.float64))
+        world.pool.pos[p] = (Twc_new[:3, :3] @ Xc
+                             + Twc_new[:3, 3]).astype(np.float32)
+        world.update_normal_and_depth(mp)
+
+
+def run_global_ba(world: Map, kernels: TrackingKernels, iters: int = 20,
+                  caps=None) -> None:
+    """Synchronous GlobalBundleAdjustemnt (optimizer.cpp:42-229) — the
+    init-time path (mono_tracker.cpp:170) and the offline deterministic
+    drive."""
+    problem = assemble_global_ba(world, caps)
+    res = solve_global_ba(problem, kernels, iters=iters)
+    apply_global_ba_direct(world, problem, res)
 
 
 class LocalMapping:

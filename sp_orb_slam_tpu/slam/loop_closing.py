@@ -31,7 +31,9 @@ from sp_orb_slam_tpu.config import Config
 from sp_orb_slam_tpu.optim import sim3 as s3
 from sp_orb_slam_tpu.slam.kernels import TrackingKernels
 from sp_orb_slam_tpu.slam.local_mapping import (LocalMapping, _next_pow2,
-                                                run_global_ba)
+                                                apply_global_ba_staged,
+                                                assemble_global_ba,
+                                                solve_global_ba)
 from sp_orb_slam_tpu.slam.map import Map, KeyFrame
 
 
@@ -72,6 +74,11 @@ class LoopClosing:
         self._key = jax.random.PRNGKey(271828)
         self._thread = None
         self._shutdown = False
+        # transient GBA thread state (mpThreadGBA / mbRunningGBA / mbStopGBA,
+        # loop_closer_vlad.h; kill-running-GBA at loop_closer_vlad.cpp:511-529)
+        self._gba_thread = None
+        self._gba_stop = False
+        self.gba_running = False
 
     def insert_keyframe(self, kf_id: int) -> None:
         self.queue.append(kf_id)
@@ -122,6 +129,12 @@ class LoopClosing:
             time.sleep(1e-3)
 
     def shutdown(self) -> None:
+        # let a running GBA finish and commit (a clean shutdown wants the
+        # correction in the exported trajectory), then stop the loop thread
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=60.0)
+        self._gba_thread = None
         if self._thread is None:
             return
         self._shutdown = True
@@ -447,8 +460,15 @@ class LoopClosing:
     def _correct_loop(self, kf: KeyFrame, matched_kf_id: int, Scw,
                       hit) -> None:
         # CorrectLoop (loop_closer_vlad.cpp:504-699): freeze the mapper
-        # (RequestStop + kill any running BA, :511-529), do the map surgery
-        # under the map-update lock (:543-639), then release the mapper.
+        # (RequestStop, :511-518), kill any still-running GBA from a
+        # previous loop (:520-529), do the map surgery under the map-update
+        # lock (:543-639), release the mapper, then launch global BA on its
+        # own transient thread (:681-690) so tracking/mapping advance while
+        # it solves.
+        # join any running GBA FIRST: its commit path drives its own
+        # stop/release cycle on the mapper, and releasing after our own
+        # request_stop would un-freeze the mapper under the surgery
+        self._stop_gba()
         self.mapper.request_stop()
         self.mapper.wait_until_stopped()
         try:
@@ -456,6 +476,61 @@ class LoopClosing:
                 self._correct_loop_locked(kf, matched_kf_id, Scw, hit)
         finally:
             self.mapper.release()
+        self._launch_gba(kf.kf_id)
+
+    # ------------------------------------------------------- transient GBA
+
+    def _stop_gba(self) -> None:
+        """Kill a running GBA (mbStopGBA + join; loop_closer_vlad.cpp:
+        520-529).  The device solve itself is not interruptible, but its
+        result is discarded at the commit check."""
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            self._gba_stop = True
+            t.join()
+        self._gba_thread = None
+        self._gba_stop = False
+
+    def _launch_gba(self, loop_kf_id: int) -> None:
+        """Spawn RunGlobalBundleAdjustment (loop_closer_vlad.cpp:687) when
+        the pipeline is threaded; the offline deterministic drive runs the
+        same staged code path inline (like the mapper's two drive modes)."""
+        import threading
+
+        self.gba_running = True
+        self._gba_stop = False
+        if self._thread is not None:
+            self._gba_thread = threading.Thread(
+                target=self._run_gba, args=(loop_kf_id,), name="global_ba",
+                daemon=True)
+            self._gba_thread.start()
+        else:
+            self._run_gba(loop_kf_id)
+
+    def _run_gba(self, loop_kf_id: int) -> None:
+        """RunGlobalBundleAdjustment (loop_closer_vlad.cpp:753-849):
+        snapshot under the lock, solve OUTSIDE it (tracking advances
+        meanwhile), then stop the mapper and commit with spanning-tree
+        propagation to keyframes/points created during the solve."""
+        try:
+            with self.map.update_lock:
+                problem = assemble_global_ba(self.map)
+            res = solve_global_ba(problem, self.k, iters=10)
+            res = jax.block_until_ready(res)
+            if self._gba_stop:
+                return
+            self.mapper.request_stop()
+            self.mapper.wait_until_stopped()
+            try:
+                with self.map.update_lock:
+                    if self._gba_stop:
+                        return
+                    apply_global_ba_staged(self.map, problem, res,
+                                           loop_kf_id)
+            finally:
+                self.mapper.release()
+        finally:
+            self.gba_running = False
 
     def _correct_loop_locked(self, kf: KeyFrame, matched_kf_id: int, Scw,
                              hit) -> None:
@@ -549,7 +624,9 @@ class LoopClosing:
         kf.loop_edges.add(matched_kf_id)
         world.keyframes[matched_kf_id].loop_edges.add(kf.kf_id)
 
-        run_global_ba(world, self.k, iters=10)
+        # global BA is NOT run here: _correct_loop launches it on the
+        # transient GBA thread after releasing the map lock (the reference
+        # never holds mMutexMapUpdate across GBA either)
         self.last_loop_kf = kf.kf_id
         self.n_loops_closed += 1
 

@@ -120,8 +120,12 @@ class KeyFrame:
         self.ba_fixed_for = -1
         self.fuse_target_for = -1
         self.track_ref_frame = -1
-        # staged global-BA results (optimizer.cpp mTcwGBA)
+        # staged global-BA results (optimizer.cpp mTcwGBA / mTcwBefGBA):
+        # the transient GBA thread solves on a snapshot while mapping
+        # continues, then commits through these (loop_closer_vlad.cpp:
+        # 753-849; see local_mapping.apply_global_ba_staged)
         self.Tcw_gba: Optional[np.ndarray] = None
+        self.Tcw_bef_gba: Optional[np.ndarray] = None
         self.ba_global_for = -1
 
     @property
@@ -384,4 +388,10 @@ class Map:
         return n_common, max(total, 1)
 
     def clear(self) -> None:
+        # System-installed hooks must survive a reset: losing global_desc_fn
+        # here would leave every post-reset keyframe without a global
+        # descriptor, silently disabling loop closing for the rest of the
+        # run (System.reset never rewires it).
+        hook = self.global_desc_fn
         self.__init__(self.pool.capacity)
+        self.global_desc_fn = hook

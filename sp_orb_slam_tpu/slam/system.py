@@ -258,12 +258,18 @@ class System:
 
     def run(self, raw: RawFrame) -> Optional[np.ndarray]:
         """Single-shot API (System::run, system.cpp:202-233): apply pending
-        localization/reset toggles, track one frame, return its Tcw (None
-        while uninitialized/LOST with no pose)."""
+        localization/reset toggles, track one frame, return its Tcw.  None
+        signals an invalid pose: uninitialized, or LOST (after a LOST frame
+        ``last_frame.Tcw`` holds the failed stage's predicted/fan pose, which
+        must not be handed to callers as if it were tracked)."""
+        from sp_orb_slam_tpu.slam.tracking import LOST
+
         self._apply_pending_toggles()
         self.process(raw)
         lf = self.tracker.last_frame
-        return None if lf is None else lf.Tcw
+        if lf is None or self.tracker.state == LOST:
+            return None
+        return lf.Tcw
 
     def start_threads(self) -> None:
         """Online mode: mapping (and loop closing) run on their own threads

@@ -221,7 +221,16 @@ class Tracking:
         ok = False
         was_lost = self.state == LOST
         if self.state == OK:
-            ok = self._track_dust(frame)
+            if self.only_tracking and self.vo_mode:
+                # mbVO arbitration (tracker.cpp localization mode): few map
+                # inliers means we drifted off the frozen map — attempt
+                # relocalization first and re-anchor on success, else keep
+                # visual odometry alive through the normal cascade
+                ok = self._relocalize(frame)
+                if ok:
+                    self.vo_mode = False
+            if not ok:
+                ok = self._track_dust(frame)
             if not ok:
                 self.n_fail_dust += 1
                 ok = self._track_motion_model(frame)
@@ -233,10 +242,6 @@ class Tracking:
         coarse_ok = ok
         if ok:
             ok = self._track_local_map(frame)
-        if ok and was_lost:
-            # fresh start for the motion model: the pre-LOST velocity and
-            # the stale last-frame pose are both poisoned
-            self.velocity = None
         self.state = OK if ok else LOST
         if self.cfg.verbose:
             # per-frame match/inlier log (tracker.cpp:537-540,590-594)
@@ -248,7 +253,11 @@ class Tracking:
 
         if ok:
             # motion model update (tracker.cpp:283-291)
-            if self.last_frame is not None and self.last_frame.Tcw is not None:
+            if was_lost:
+                # fresh start: the pre-LOST velocity and the stale last-frame
+                # pose (a failed stage's predicted/fan pose) are both poisoned
+                self.velocity = None
+            elif self.last_frame is not None and self.last_frame.Tcw is not None:
                 last_Twc = np.eye(4, dtype=np.float32)
                 last_Twc[:3, :3] = self.last_frame.Rcw.T
                 last_Twc[:3, 3] = self.last_frame.Ow
@@ -534,6 +543,7 @@ class Tracking:
         ref = self.map.keyframes.get(self.ref_kf if ref_id is None
                                      else ref_id)
         if ref is None or ref.bad:
+            self.last_fail = "ref: kf missing/bad"
             return False
         frame.mp_ids[:] = -1
         frame.outlier[:] = False
@@ -550,6 +560,7 @@ class Tracking:
             rows.append(i)
             pids.append(mp.pid)
         if not pids:
+            self.last_fail = "ref: no live points"
             return False
         K = self.cfg.runtime.max_keypoints
         pos = np.zeros((K, 3), np.float32)
@@ -633,7 +644,7 @@ class Tracking:
         kf_max = max(self.local_kfs, key=counter.get)
         marked = set(self.local_kfs)
         for kid in list(self.local_kfs):
-            if len(self.local_kfs) > 80:
+            if len(self.local_kfs) > self.cfg.runtime.local_kfs_cap:
                 break
             kf = self.map.keyframes[kid]
             for nb in kf.best_covisible(20):
