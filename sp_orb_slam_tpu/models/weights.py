@@ -42,14 +42,23 @@ def _convert_state_dict(state: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
-    """Load and convert a SuperPoint checkpoint (.pt/.pth/.npz)."""
+    """Load and convert a SuperPoint checkpoint (.pt/.pth/.npz).
+
+    Handles all three flavors in the wild: a plain pickled state_dict (the
+    magicleap superpoint_v1.pth), a pickled nn.Module, and a torchscript
+    archive (what the reference's C++ `torch::save`/`torch::load` pair
+    produces for superpoint.pt, sp_extractor.cpp:354-357 — torch.load
+    cannot read those; torch.jit.load can)."""
     if path.endswith(".npz"):
         with np.load(path) as z:
             state = {k: z[k] for k in z.files}
         return _convert_state_dict(state)
     import torch  # file reader only
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=False)
+    except RuntimeError:  # torchscript archive ("please use torch.jit.load")
+        blob = torch.jit.load(path, map_location="cpu")
     if hasattr(blob, "state_dict"):
         blob = blob.state_dict()
     state = {k: v.detach().numpy() for k, v in blob.items()}

@@ -18,6 +18,13 @@ H, W = 120, 160  # small image keeps CPU tests quick; multiples of 8
 
 @pytest.fixture(scope="module")
 def params():
+    # real-weights gate (docs/WEIGHTS.md): point SP_WEIGHTS at a genuine
+    # checkpoint to run every golden test against it instead of random init
+    import os
+
+    path = os.environ.get("SP_WEIGHTS")
+    if path:
+        return jax.tree.map(jnp.asarray, weights.load_checkpoint(path))
     return superpoint.init_params(jax.random.PRNGKey(42))
 
 
