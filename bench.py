@@ -89,6 +89,89 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_FPS, 2),
     }))
+    bench_tracking_step(cfg, extract_ms_per_frame=dt / B * 1e3)
+
+
+def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
+    """Second metric: the full per-frame SLAM tracking step on-device.
+
+    Measures the two hot per-frame kernels of the OK path — dust coarse
+    alignment (40-iter LM + occ-grid association + post optimization) and
+    local-map tracking (frustum + projection match + 4x10 pose LM) — as the
+    host calls them (one packed readback each, axon-tunnel latency
+    included), plus the amortized frontend, against the reference's
+    <= 50 ms/frame whole-pipeline budget (system.cpp:141,190-192).
+    Fallback-stage latencies (motion/ref) land in the same host-call regime
+    and are reported to NOTES.md rather than here."""
+    import jax
+    import jax.numpy as jnp
+
+    from sp_orb_slam_tpu.slam.kernels import TrackingKernels
+
+    rng = np.random.default_rng(7)
+    k = TrackingKernels(cfg)
+    K = cfg.runtime.max_keypoints
+    P_dust = cfg.runtime.dust_points_cap
+    P_loc = cfg.runtime.local_points_cap
+    hc, wc = cfg.grid_h, cfg.grid_w
+
+    def mk_points(P):
+        pos = np.stack([rng.uniform(-3, 3, P), rng.uniform(-2, 2, P),
+                        rng.uniform(4.0, 8.0, P)], 1).astype(np.float32)
+        desc = rng.normal(size=(P, 256)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+        return pos, desc
+
+    Tcw = np.eye(4, dtype=np.float32)
+    pos_d, desc_d = mk_points(P_dust)
+    pos_l, desc_l = mk_points(P_loc)
+    kp_uv = np.stack([rng.uniform(8, cfg.camera.width - 8, K),
+                      rng.uniform(8, cfg.camera.height - 8, K)],
+                     1).astype(np.float32)
+    kp_desc = rng.normal(size=(K, 256)).astype(np.float32)
+    kp_desc /= np.linalg.norm(kp_desc, axis=-1, keepdims=True)
+    kp_desc = jnp.asarray(kp_desc)
+    kp_cov = np.ones((K, 2), np.float32)
+    kp_valid = np.ones(K, bool)
+    dust = jnp.asarray(rng.random((hc, wc), np.float32))
+    occ = jnp.asarray(rng.integers(-1, K, (hc, wc)).astype(np.int32))
+    ones_d = np.ones(P_dust, bool)
+    mp_normal = np.tile(np.array([0, 0, -1.0], np.float32), (P_loc, 1))
+    dmin = np.full(P_loc, 1.0, np.float32)
+    dmax = np.full(P_loc, 50.0, np.float32)
+    ones_l = np.ones(P_loc, bool)
+    zeros_l = np.zeros(P_loc, bool)
+    kp2mp0 = np.full(K, -1, np.int32)
+
+    def run_dust():
+        return k.dust_track(Tcw, pos_d, desc_d, ones_d, dust, occ, kp_desc,
+                            kp_uv, kp_cov, kp_valid)
+
+    def run_local():
+        return k.local_map_track(Tcw, pos_l, desc_l, mp_normal, dmin, dmax,
+                                 ones_l, zeros_l, kp2mp0, kp_desc, kp_uv,
+                                 kp_cov, kp_valid)
+
+    def timed(fn, iters=30):
+        fn()  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    dust_ms = timed(run_dust)
+    local_ms = timed(run_local)
+    step_ms = extract_ms_per_frame + dust_ms + local_ms
+    print(json.dumps({
+        "metric": "slam_full_frame_step_ms_752x480",
+        "value": round(step_ms, 2),
+        "unit": "ms/frame",
+        # reference whole-pipeline budget is <= 50 ms/frame on its GPU
+        "vs_baseline": round(50.0 / step_ms, 2),
+        "stages_ms": {"extract_amortized": round(extract_ms_per_frame, 2),
+                      "dust_track": round(dust_ms, 2),
+                      "local_map_track": round(local_ms, 2)},
+    }))
 
 
 if __name__ == "__main__":

@@ -34,16 +34,21 @@ def main() -> None:
     ap.add_argument("--seeds", default="1,2,3,4,5,6,7,8,9,10")
     ap.add_argument("--frames", type=int, default=80)
     ap.add_argument("--out", default="")
+    ap.add_argument("--online", action="store_true",
+                    help="threaded-pipeline mode (mapper + looper on their "
+                         "own threads; the reference protocol's regime)")
     args = ap.parse_args()
 
     import jax
 
-    try:  # persistent compile cache: repeat sweeps skip the tunnel compiles
+    backend = jax.default_backend()
+    try:  # persistent compile cache: repeat sweeps skip the tunnel compiles.
+        # Keyed by backend: CPU AOT results are machine-specific and the
+        # axon remote host is a different machine than this one.
         jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
+                          f"/root/repo/.jax_cache/{backend}")
     except Exception:
         pass
-    backend = jax.default_backend()
 
     import numpy as np
 
@@ -56,6 +61,7 @@ def main() -> None:
     # the round-2 NOTES rail: 80 frames, 250 features, small camera
     cfg = _merge_dataclass(Config(), {
         "dataset": "synthetic",
+        "online": bool(args.online),
         "camera": {"width": 320, "height": 240, "fx": 260.0, "fy": 260.0,
                    "cx": 160.0, "cy": 120.0, "fps": 20.0},
         "tracking": {"num_features": 250},
@@ -76,12 +82,17 @@ def main() -> None:
         ts_est, poses_est = sys_.trajectory()
         ts_gt, poses_gt = ds.gt_trajectory()
         res = ate_sim3(ts_est, poses_est[:, :3, 3], ts_gt, poses_gt[:, :3, 3])
+        acc = sys_.timer.tags.get("tracking/total")
         row = dict(seed=seed, ate_rmse=round(float(res.rmse), 4),
                    ate_mean=round(float(res.mean), 4),
                    n_lost=rep["n_lost"], n_kfs=rep["n_keyframes"],
                    min_fine_inliers=int(min(sys_.tracker.inlier_fine[5:],
                                             default=0)),
                    ok=bool(sys_.tracker.state == tr.OK),
+                   frame_ms_mean=(round(acc.total / acc.count * 1e3, 2)
+                                  if acc and acc.count else None),
+                   frame_ms_max=(round(acc.max * 1e3, 2)
+                                 if acc and acc.count else None),
                    wall_s=round(time.time() - t0, 1))
         rows.append(row)
         print(f"  seed {seed:2d}: ATE {row['ate_rmse']:.3f} "

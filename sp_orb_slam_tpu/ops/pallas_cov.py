@@ -89,28 +89,33 @@ def _cov_kernel(vu_ref, heat_ref, crow_ref, out_ref, win_ref, *, radius,
     pos = ((win > 0.0) & in_rows).astype(jnp.float32)
     reach0 = jnp.where(center, 1.0, 0.0).astype(jnp.float32)
 
+    # hoist the loop-invariant descent masks: whether the neighbor in each
+    # direction has a HIGHER heat value depends only on `win`, not on the
+    # fill state, and `grow * pos` distributes onto the per-direction masks
+    # (same hoist that carried the NMS kernel, ops/pallas_nms.py)
+    def shift_rows(x, dv, fill):
+        return jnp.concatenate(
+            [x[:, 1:, :], jnp.full((khi_n, 1, LANES), fill)]
+            if dv == 1 else
+            [jnp.full((khi_n, 1, LANES), fill), x[:, :-1, :]], axis=1)
+
+    masks = []
+    for dv in (-1, 1):
+        nv = shift_rows(win, dv, neg)
+        masks.append((win < nv).astype(jnp.float32) * pos)
+    for du in (-1, 1):
+        # rolls wrap across lane groups, but lanes >= size hold -inf and
+        # zero reach, so wrapped-in values can never grow the fill
+        nv = pltpu.roll(win, (-du) % LANES, 2)
+        masks.append((win < nv).astype(jnp.float32) * pos)
+
     def body(_, reach):
-        grow = jnp.zeros_like(reach)
-        for dv in (-1, 1):
-            # neighbor at row r+dv: shift rows by -dv with a -inf boundary
-            nv = jnp.concatenate(
-                [win[:, 1:, :], jnp.full((khi_n, 1, LANES), neg)]
-                if dv == 1 else
-                [jnp.full((khi_n, 1, LANES), neg), win[:, :-1, :]], axis=1)
-            nr = jnp.concatenate(
-                [reach[:, 1:, :], jnp.zeros((khi_n, 1, LANES), jnp.float32)]
-                if dv == 1 else
-                [jnp.zeros((khi_n, 1, LANES), jnp.float32), reach[:, :-1, :]],
-                axis=1)
-            grow = jnp.maximum(grow, nr * (win < nv).astype(jnp.float32))
-        for du in (-1, 1):
-            sh = (-du) % LANES  # out[l] = x[l + du] (roll wants shift >= 0)
-            nv = pltpu.roll(win, sh, 2)
-            nr = pltpu.roll(reach, sh, 2)
-            # rolls wrap across lane groups, but lanes >= size hold -inf and
-            # zero reach, so wrapped-in values can never grow the fill
-            grow = jnp.maximum(grow, nr * (win < nv).astype(jnp.float32))
-        return jnp.maximum(reach, grow * pos)
+        grow = jnp.maximum(
+            masks[0] * shift_rows(reach, -1, jnp.float32(0.0)),
+            masks[1] * shift_rows(reach, 1, jnp.float32(0.0)))
+        grow = jnp.maximum(grow, masks[2] * pltpu.roll(reach, 1 % LANES, 2))
+        grow = jnp.maximum(grow, masks[3] * pltpu.roll(reach, LANES - 1, 2))
+        return jnp.maximum(reach, grow)
 
     reach = jax.lax.fori_loop(0, iters, body, reach0)
 
