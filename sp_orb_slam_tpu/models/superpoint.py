@@ -176,6 +176,69 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
                        coarse, heat, heat_inv)
 
 
+def sample_descriptors_dense(coarse: jnp.ndarray, cand_uv: jnp.ndarray,
+                             image_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear descriptor sampling for every cell's candidate keypoint,
+    with NO gather — the TPU-friendly reformulation of
+    :func:`sample_descriptors`.
+
+    Key fact: the sampling location of a candidate in cell (i, j) is
+    x_c = u (wc-1)/W with u in [8j, 8j+7], which lies in (j-1, j+1) — so
+    all four bilinear corners fall in the 3x3 cell neighborhood.  The
+    gather therefore becomes a 9-tap stencil: per cell, fold the four
+    corner weights onto the (dy, dx) shifts they land on (scalar (hc, wc)
+    math), then accumulate w_s * shift_s(coarse) densely.  XLA fuses the
+    9 taps into one elementwise pass; there is no serialized per-keypoint
+    dynamic-slice chain (measured ~20x off bandwidth ideal on v5e,
+    NOTES r2).  Emission then picks each surviving keypoint's OWN cell row
+    — the same cheap row gather the uv/score emission already pays.
+
+    coarse: (hc, wc, D); cand_uv: (hc, wc, 2) candidate pixel coords.
+    Returns (hc, wc, D) unit-norm descriptors (exact match to
+    sample_descriptors at each cell's candidate).
+    """
+    H, W = image_hw
+    hc, wc, D = coarse.shape
+    gx = cand_uv[..., 0].astype(jnp.float32) * (wc - 1) / W
+    gy = cand_uv[..., 1].astype(jnp.float32) * (hc - 1) / H
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, wc - 1)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, hc - 1)
+    x1 = jnp.minimum(x0 + 1, wc - 1)
+    y1 = jnp.minimum(y0 + 1, hc - 1)
+    du = gx - x0.astype(jnp.float32)
+    dv = gy - y0.astype(jnp.float32)
+
+    ci = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1)
+    # corner -> (dy, dx) shift relative to the cell, in {-1, 0, 1}
+    corners = ((y0, x0, (1 - du) * (1 - dv)), (y0, x1, du * (1 - dv)),
+               (y1, x0, (1 - du) * dv), (y1, x1, du * dv))
+    w = {(dy, dx): jnp.zeros((hc, wc), jnp.float32)
+         for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
+    for yy, xx, wt in corners:
+        sy = yy - ci
+        sx = xx - cj
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                hit = ((sy == dy) & (sx == dx)).astype(jnp.float32)
+                w[(dy, dx)] = w[(dy, dx)] + hit * wt
+
+    def shifted(dy, dx):
+        # edge-clamped shift: out[i, j] = coarse[i+dy, j+dx]
+        pad_y = (max(-dy, 0), max(dy, 0))
+        pad_x = (max(-dx, 0), max(dx, 0))
+        p = jnp.pad(coarse, (pad_y, pad_x, (0, 0)), mode="edge")
+        return jax.lax.dynamic_slice(
+            p, (pad_y[0] + dy, pad_x[0] + dx, 0), (hc, wc, D))
+
+    desc = jnp.zeros((hc, wc, D), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            desc = desc + w[(dy, dx)][..., None] * shifted(dy, dx)
+    norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)
+    return desc / jnp.maximum(norm, 1e-12)
+
+
 def sample_descriptors(coarse: jnp.ndarray, uv: jnp.ndarray,
                        image_hw: tuple[int, int]) -> jnp.ndarray:
     """Bilinearly sample L2-renormalized descriptors at pixel coords.

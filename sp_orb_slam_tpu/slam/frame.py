@@ -18,6 +18,24 @@ import numpy as np
 from sp_orb_slam_tpu.extractor import Features
 
 
+def orthonormalized_pose(Tcw: np.ndarray) -> np.ndarray:
+    """Project the rotation block of an SE3 onto SO(3) (nearest rotation by
+    polar decomposition, R <- U V^T) and return a clean float32 4x4.
+
+    The equivalent of g2o's quaternion-backed SE3 storage: without it, f32
+    exp-map/product chains accumulate shear in R, and every transpose-based
+    inverse downstream amplifies it (see the note in FrameData)."""
+    T = np.asarray(Tcw, np.float64)
+    U, _, Vt = np.linalg.svd(T[:3, :3])
+    R = U @ Vt
+    if np.linalg.det(R) < 0:  # keep a proper rotation
+        R = (U * np.array([1.0, 1.0, -1.0])) @ Vt
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = R.astype(np.float32)
+    out[:3, 3] = T[:3, 3].astype(np.float32)
+    return out
+
+
 @dataclass
 class FrameData:
     """One frame's features + pose + map bindings (capacity K)."""
@@ -57,6 +75,16 @@ class FrameData:
     # the frame is promoted to a keyframe)
     _desc_host: Optional[np.ndarray] = None
 
+    # NOTE on pose storage: every stored SE3 is re-orthonormalized (see
+    # orthonormalized_pose below).  g2o gets this for free (SE3Quat stores
+    # a unit quaternion); a raw 4x4 chain does not: f32 rotation blocks
+    # pick up ~1e-4 shear from exp-map products, and the motion model's
+    # transpose-inverse (valid only for orthonormal R) then DOUBLES the
+    # defect every frame — measured on the seed-2 rail as ortho error
+    # 1e-4 -> 0.39 in 10 frames, an ~80 px constant prediction bias that
+    # silently disabled the dust tracker and degraded every downstream
+    # stage (round-3 NOTES).
+
     @property
     def desc_host(self) -> np.ndarray:
         if self._desc_host is None:
@@ -68,7 +96,7 @@ class FrameData:
         return self.uv.shape[0]
 
     def set_pose(self, Tcw: np.ndarray) -> None:
-        self.Tcw = np.asarray(Tcw, np.float32)
+        self.Tcw = orthonormalized_pose(Tcw)
 
     @property
     def Rcw(self) -> np.ndarray:

@@ -74,6 +74,7 @@ def _assemble_ba(world: Map, kf_ids: List[int], fixed_ids: List[int],
 
 
 def _writeback_ba(world: Map, res, kf_index, pt_index, obs_ref, fixed):
+    world.ba_epoch += 1
     poses = np.asarray(res.poses)
     points = np.asarray(res.points)
     for k, i in kf_index.items():
@@ -136,6 +137,7 @@ def apply_global_ba_direct(world: Map, problem: dict, res) -> None:
     """Direct write-back (the nLoopKF == 0 path of optimizer.cpp:200-228:
     init-time GBA where nothing ran concurrently).  Plain BA does not erase
     observations (optimizer.cpp:42-229)."""
+    world.ba_epoch += 1
     poses_np = np.asarray(res.poses)
     points_np = np.asarray(res.points)
     fixed = problem["fixed"]
@@ -159,6 +161,7 @@ def apply_global_ba_staged(world: Map, problem: dict, res,
     (T_child_gba = T_child * T_parent^-1 * T_parent_gba, measured in the
     un-corrected frame, :783-795); a new point re-projects through its
     reference KF's pre/post-GBA pose pair (:815-845)."""
+    world.ba_epoch += 1
     poses_np = np.asarray(res.poses)
     points_np = np.asarray(res.points)
     fixed = problem["fixed"]

@@ -34,7 +34,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from sp_orb_slam_tpu.slam.frame import FrameData
+from sp_orb_slam_tpu.slam.frame import FrameData, orthonormalized_pose
 
 COVIS_TH = 15  # keyframe.cpp:805
 
@@ -104,7 +104,7 @@ class KeyFrame:
         self.frame_id = frame.frame_id
         self.timestamp = frame.timestamp
         self.data = frame.clone_bindings()
-        self.Tcw = frame.Tcw.copy()
+        self.Tcw = orthonormalized_pose(frame.Tcw)
         self.mp_ids = frame.mp_ids.copy()
         self.bad = False
         # covisibility
@@ -133,7 +133,9 @@ class KeyFrame:
         return -self.Tcw[:3, :3].T @ self.Tcw[:3, 3]
 
     def set_pose(self, Tcw: np.ndarray) -> None:
-        self.Tcw = np.asarray(Tcw, np.float32)
+        # SO(3)-projected storage, like g2o's quaternion-backed vertices
+        # (see frame.orthonormalized_pose)
+        self.Tcw = orthonormalized_pose(Tcw)
 
     def best_covisible(self, n: int) -> List[int]:
         return self.ordered_neighbors[:n]
@@ -154,6 +156,11 @@ class Map:
         # correction in online mode (mMutexMapUpdate, map.h:70-74;
         # tracker.cpp:189, optimizer.cpp:740, loop_closer_vlad.cpp:545)
         self.update_lock = threading.RLock()
+        # bumped on every BA write-back: the tracker widens its local-map
+        # search window for the first frame after a map adjustment (a BA
+        # that moves points ~3 px projected breaks the 2.5-4 px windows
+        # and collapses bindings; measured on the seed-2 rail, NOTES r3)
+        self.ba_epoch = 0
         # optional FrameData -> (D,) global-descriptor callable (see
         # add_keyframe); None = descriptors come from the dataset only
         self.global_desc_fn = None

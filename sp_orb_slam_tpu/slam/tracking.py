@@ -56,6 +56,7 @@ class Tracking:
         #                             the n_obs>0 condition (tracker.cpp:
         #                             580-585)
         self.last_fail = ""  # diagnostic: why the latest stage rejected
+        self._seen_ba_epoch = 0  # widened-window trigger (map.ba_epoch)
         # init state
         self._init_frame: Optional[FrameData] = None
         self._prev_matched: Optional[np.ndarray] = None
@@ -723,8 +724,17 @@ class Tracking:
         args = (frame.Tcw.astype(np.float32), pos, desc, normal, dmin, dmax,
                 valid, skip, kp2mp0, frame.desc_dev, frame.uv,
                 frame.cov2_inv, frame.valid)
-        out = self.k.local_map_track(*args)
-        if int(out["n_inlier"]) < self.cfg.tracking.map.th_ninlier_high:
+        if self.map.ba_epoch != self._seen_ba_epoch:
+            # first frame after a BA write-back: the adjustment moves point
+            # projections by ~3 px (seed-2 rail, NOTES r3) — outside the
+            # 2.5-4 px window — so search widened immediately instead of
+            # collapsing bindings first (reference precedent: the widened
+            # window after relocalization, sp_matcher.cpp th parameter)
+            self._seen_ba_epoch = self.map.ba_epoch
+            out = self.k.local_map_track_wide(*args)
+        else:
+            out = self.k.local_map_track(*args)
+        if int(out["n_inlier"]) <= self.cfg.tracking.map.th_ninlier_high:
             # Starvation retry at the widened window (see
             # local_map_track_wide): local-BA depth slides on low-parallax
             # points routinely exceed the 4 px window early in a map's

@@ -53,10 +53,12 @@ def test_online_synthetic_vo(online_cfg):
     assert len(ts_est) > 30
     ts_gt, poses_gt = ds.gt_trajectory()
     res = ate_sim3(ts_est, poses_est[:, :3, 3], ts_gt, poses_gt[:, :3, 3])
-    # same divergence-only bound as the offline e2e test: online mapping
-    # lags tracking, so per-run ATE varies more than offline, but a healthy
-    # run stays well under this
-    assert res.rmse < 0.7, res
+    # evidence-based bound (round-3 characterization, CPU_SWEEP_ONLINE_r3):
+    # 10-seed online sweep scored ATE mean 0.176 / max 0.317 (offline:
+    # 0.168 / 0.299 — threaded timing jitter is within seed noise); 0.45
+    # rejects anything outside that distribution with headroom for
+    # scheduler variance
+    assert res.rmse < 0.45, res
 
 
 def test_stop_accept_protocol():
