@@ -229,6 +229,14 @@ class ExtractorConfig:
     #                            XLA), "windowed" (per-keypoint XLA, closest
     #                            to the reference BFS semantics), or "dense"
     #                            (label-propagation ownership)
+    desc_method: str = "auto"  # descriptor bilinear sampling: "auto" =
+    #                            "dense" on TPU, "gather" else.  "gather" =
+    #                            per-keypoint 4-corner row gather (XLA
+    #                            dynamic-slice chain, ~20x off bandwidth on
+    #                            v5e); "dense" = 9-tap stencil over every
+    #                            cell's candidate + one emission row gather
+    #                            (bit-exact, models/superpoint.py
+    #                            sample_descriptors_dense)
     dtype: str = "float32"     # compute dtype of the conv net ("bfloat16" for speed)
 
 

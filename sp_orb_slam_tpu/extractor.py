@@ -45,6 +45,7 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             nms_dist: int = 4, border: int = 8, nms_iters: int = 16,
             cov_radius: int = 8, cov_iters: int = 16,
             cov_method: str = "auto", nms_method: str = "auto",
+            desc_method: str = "auto",
             compute_dtype=jnp.float32) -> Features:
     """images: (B, H, W) float32 in [0, 1]."""
     B, H, W = images.shape
@@ -71,8 +72,25 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             border=border, nms_iters=nms_iters, alive=al)
     )(out.score, out.cand_uv, out.cand_valid, alive)
 
-    desc = jax.vmap(partial(superpoint.sample_descriptors, image_hw=(H, W)))(
-        out.coarse_desc, kps.uv)
+    if desc_method == "auto":
+        desc_method = ("dense" if jax.default_backend() == "tpu"
+                       else "gather")
+    if desc_method == "dense":
+        # stencil-sample every cell's candidate, then pick each surviving
+        # keypoint's own cell row (keypoint uv == its cell's candidate uv,
+        # so the values are bit-identical to the gather path)
+        dense = jax.vmap(partial(superpoint.sample_descriptors_dense,
+                                 image_hw=(H, W)))(out.coarse_desc,
+                                                   out.cand_uv)
+        hc, wc = H // 8, W // 8
+        cy = jnp.clip(kps.uv[..., 1].astype(jnp.int32) // 8, 0, hc - 1)
+        cx = jnp.clip(kps.uv[..., 0].astype(jnp.int32) // 8, 0, wc - 1)
+        rows = cy * wc + cx
+        desc = jnp.take_along_axis(
+            dense.reshape(B, hc * wc, -1), rows[..., None], axis=1)
+    else:
+        desc = jax.vmap(partial(superpoint.sample_descriptors,
+                                image_hw=(H, W)))(out.coarse_desc, kps.uv)
     desc = jnp.where(kps.valid[..., None], desc, 0.0)
 
     if cov_method == "auto":
@@ -114,6 +132,6 @@ def make_extractor(cfg: Config, params):
             border=ex.border, nms_iters=ex.nms_iters,
             cov_radius=ex.cov_window, cov_iters=ex.cov_iters,
             cov_method=ex.cov_method, nms_method=ex.nms_method,
-            compute_dtype=dtype)
+            desc_method=ex.desc_method, compute_dtype=dtype)
 
     return run

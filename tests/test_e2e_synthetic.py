@@ -45,14 +45,12 @@ def test_synthetic_vo_end_to_end(small_cfg):
     assert len(ts_est) > 30
     ts_gt, poses_gt = ds.gt_trajectory()
     res = ate_sim3(ts_est, poses_est[:, :3, 3], ts_gt, poses_gt[:, :3, 3])
-    # Mono VO is chaotically sensitive to float32 reduction order, and XLA
-    # CPU numerics are not stable across processes, so per-run ATE on this
-    # 4-unit trajectory legitimately varies ~0.1-0.5.  The structural
-    # asserts above (no LOST episodes, sustained keyframe/point growth)
-    # catch the round-1 regression classes (frustum-gate unanchoring, BA
-    # gauge corruption) which all produced LOST streaks or map stalls;
-    # the ATE bound here only rejects outright divergence.
-    assert res.rmse < 0.5, res
+    # Post-SE3-shear-fix (round 3, NOTES): the 10-seed rail scores ATE
+    # mean 0.0076 / max 0.018 — the old 0.1-0.5 "chaotic" spread was the
+    # shear defect compounding, not float32 reduction order.  0.1 gives
+    # ~5x headroom over the measured envelope while still catching any
+    # return of the defect (which scored 0.1-0.5).
+    assert res.rmse < 0.1, res
 
     # trajectory files write and parse
     import tempfile, os

@@ -301,3 +301,34 @@ def test_pallas_nms_matches_golden():
         score[b], uv[b], valid[b], dist=4) for b in range(B)])
     assert np.array_equal(alive_p, alive_x)
     assert np.array_equal(alive_p, gold)
+
+
+def test_dense_descriptor_sampling_matches_gather(params, images):
+    """sample_descriptors_dense (the TPU stencil reformulation) must be
+    bit-compatible with the per-keypoint gather path at every cell's
+    candidate keypoint."""
+    out = superpoint.forward(params, jnp.asarray(images))
+    b = 0
+    dense = superpoint.sample_descriptors_dense(
+        out.coarse_desc[b], out.cand_uv[b], (H, W))
+    hc, wc = H // 8, W // 8
+    rng = np.random.default_rng(3)
+    cells = rng.integers(0, hc * wc, 64)
+    kuv = np.asarray(out.cand_uv[b]).reshape(-1, 2)[cells].astype(np.float32)
+    ref = superpoint.sample_descriptors(out.coarse_desc[b],
+                                        jnp.asarray(kuv), (H, W))
+    got = np.asarray(dense).reshape(-1, dense.shape[-1])[cells]
+    np.testing.assert_allclose(got, np.asarray(ref), atol=1e-6)
+
+
+def test_extract_desc_methods_agree(params, images):
+    """extract(desc_method='dense') == extract(desc_method='gather')."""
+    from sp_orb_slam_tpu.extractor import extract
+
+    a = extract(params, jnp.asarray(images), num_features=60,
+                max_keypoints=64, desc_method="gather")
+    b = extract(params, jnp.asarray(images), num_features=60,
+                max_keypoints=64, desc_method="dense")
+    np.testing.assert_array_equal(np.asarray(a.uv), np.asarray(b.uv))
+    np.testing.assert_allclose(np.asarray(a.desc), np.asarray(b.desc),
+                               atol=1e-6)

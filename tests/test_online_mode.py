@@ -53,12 +53,11 @@ def test_online_synthetic_vo(online_cfg):
     assert len(ts_est) > 30
     ts_gt, poses_gt = ds.gt_trajectory()
     res = ate_sim3(ts_est, poses_est[:, :3, 3], ts_gt, poses_gt[:, :3, 3])
-    # evidence-based bound (round-3 characterization, CPU_SWEEP_ONLINE_r3):
-    # 10-seed online sweep scored ATE mean 0.176 / max 0.317 (offline:
-    # 0.168 / 0.299 — threaded timing jitter is within seed noise); 0.45
-    # rejects anything outside that distribution with headroom for
-    # scheduler variance
-    assert res.rmse < 0.45, res
+    # evidence-based bound (round-3, post-SE3-shear-fix,
+    # CPU_SWEEP_ONLINE_r3b): 10-seed online sweep ATE mean 0.0096 / max
+    # 0.022 (offline: 0.0076 / 0.018 — threaded timing jitter is within
+    # seed noise); 0.1 gives ~5x headroom for scheduler variance
+    assert res.rmse < 0.1, res
 
 
 def test_stop_accept_protocol():
