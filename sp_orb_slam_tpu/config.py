@@ -56,6 +56,13 @@ class DustConfig:
     """
 
     c2_thresh: float = 81.0
+    gather: str = "kf_local"  # candidate source, selecting the reference's
+    #                           retained coarse-tracker variants
+    #                           (tracker_dust.cpp): "kf_local" =
+    #                           trackFrameDustKFLocal (:22-228, production),
+    #                           "last" = trackFrameDust (last frame only,
+    #                           :406+), "kf" = trackFrameDustKF (reference
+    #                           KF only, :230-404)
     th_ratio: float = 0.35
     th_ninlier: int = 20
     th_nmatch: int = 20
@@ -186,6 +193,12 @@ class MappingConfig:
     """Reference: config.cpp `namespace mapping` + YAML mapping block."""
 
     culling_kf: bool = True
+    kf_culling_method: str = "override"  # "override" =
+    #   KeyFrameCullingOverride (local_mapper.cpp:979-1032, production:
+    #   iteratively cull the worst redundancy ratio); "override2" =
+    #   KeyFrameCullingOverride2 (:906-977: among above-ratio candidates
+    #   cull the minimum parent-distance KF, repeat); "plain" =
+    #   KeyFrameCulling (:1034-1097: single pass, strict > num_obs)
     kf_culling_cov_ratio: float = 0.95
     kf_culling_num_obs: int = 5
     triangulation_nn_ratio: float = 1.0  # parity-dead, as in the reference:

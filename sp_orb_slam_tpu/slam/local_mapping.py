@@ -722,7 +722,82 @@ class LocalMapping:
         with self.map.update_lock:
             _writeback_ba(self.map, res, kf_index, pt_index, obs_ref, fixd)
 
+    def _redundancy(self, ckf: KeyFrame, *, strict: bool = False):
+        """(ratio, n_mp): share of this KF's tracked points observed by
+        >= (or strictly >, `strict`) kf_culling_num_obs keyframes."""
+        th = self.cfg.mapping.kf_culling_num_obs
+        n_mp = 0
+        n_red = 0
+        for pid in ckf.mp_ids:
+            if pid < 0:
+                continue
+            mp = self.map.get_point(int(pid))
+            if mp is None or mp.bad:
+                continue
+            n_mp += 1
+            if (mp.n_obs > th) if strict else (mp.n_obs >= th):
+                n_red += 1
+        return n_red / max(n_mp, 1), n_mp
+
     def keyframe_culling(self, kf: KeyFrame) -> None:
+        """Dispatch on mapping.kf_culling_method — the reference keeps
+        three compiled variants (local_mapper.cpp:906-1097)."""
+        method = self.cfg.mapping.kf_culling_method
+        if method == "override2":
+            return self._keyframe_culling_override2(kf)
+        if method == "plain":
+            return self._keyframe_culling_plain(kf)
+        return self._keyframe_culling_override(kf)
+
+    def _keyframe_culling_plain(self, kf: KeyFrame) -> None:
+        """KeyFrameCulling (local_mapper.cpp:1034-1097): one pass over the
+        covisibles, cull every KF whose redundancy (observations strictly
+        > num_obs; the scale condition is inert with the 1-level SP
+        pyramid) exceeds the ratio."""
+        for kid in list(kf.ordered_neighbors):
+            ckf = self.map.keyframes.get(kid)
+            if ckf is None or ckf.bad or kid == self.map.kf_origin:
+                continue
+            ratio, n_mp = self._redundancy(ckf, strict=True)
+            if n_mp and ratio > self.cfg.mapping.kf_culling_cov_ratio:
+                self.map.erase_keyframe(ckf)
+
+    def _keyframe_culling_override2(self, kf: KeyFrame) -> None:
+        """KeyFrameCullingOverride2 (local_mapper.cpp:906-977): drop
+        below-ratio covisibles from the worklist; among the above-ratio
+        candidates cull the one closest to its spanning-tree parent
+        (minimum baseline = least depth information lost); repeat."""
+        worklist = [k for k in kf.ordered_neighbors
+                    if k != self.map.kf_origin]
+        while worklist:
+            candidates = []
+            for kid in list(worklist):
+                ckf = self.map.keyframes.get(kid)
+                if ckf is None or ckf.bad:
+                    worklist.remove(kid)
+                    continue
+                ratio, _ = self._redundancy(ckf)
+                if ratio < self.cfg.mapping.kf_culling_cov_ratio:
+                    worklist.remove(kid)
+                else:
+                    candidates.append(ckf)
+            best = None
+            best_dist = np.inf
+            for ckf in candidates:
+                parent = self.map.keyframes.get(ckf.parent)
+                if parent is None:
+                    continue
+                dist = float(np.linalg.norm(ckf.Ow - parent.Ow))
+                if dist < best_dist:
+                    best_dist = dist
+                    best = ckf
+            if best is None:
+                break
+            self.map.erase_keyframe(best)
+            if best.kf_id in worklist:
+                worklist.remove(best.kf_id)
+
+    def _keyframe_culling_override(self, kf: KeyFrame) -> None:
         """KeyFrameCullingOverride (local_mapper.cpp:979-1032): repeatedly
         cull the covisible KF with the highest redundant-observation ratio
         above the threshold."""

@@ -300,8 +300,14 @@ class Tracking:
             self.last_frame.set_pose(self.rel_poses[-1] @ ref.Tcw)
 
     def _gather_dust_points(self, frame: FrameData):
-        """tracker_dust.cpp:34-87: >= 150 candidates from last frame, then
-        the reference KF, then up to 5 covisible KFs."""
+        """Candidate gathering for the coarse dust tracker, selecting the
+        reference's retained variants by `tracking.dust.gather`:
+        - "kf_local" (production, trackFrameDustKFLocal tracker_dust.cpp:
+          34-87): >= 150 candidates from last frame, then the reference
+          KF, then up to 5 covisible KFs;
+        - "last" (trackFrameDust): the last frame's bound points only;
+        - "kf" (trackFrameDustKF, :230-404): the reference KF's points only.
+        """
         P = self.cfg.runtime.dust_points_cap
         pids: List[int] = []
         seen = set()
@@ -321,20 +327,27 @@ class Tracking:
                 if len(pids) >= P:
                     return
 
-        add_from(self.last_frame.mp_ids)
+        mode = self.cfg.tracking.dust.gather
         ref = self.map.keyframes.get(self.last_frame.ref_kf)
         n_kfs = 1
-        if len(pids) < 150 and ref is not None:
-            add_from(ref.mp_ids)
-        if len(pids) < 150 and ref is not None:
-            for kid in ref.best_covisible(5):
-                kf = self.map.keyframes.get(kid)
-                if kf is None or kf.bad:
-                    continue
-                n_kfs += 1
-                add_from(kf.mp_ids)
-                if len(pids) >= 150:
-                    break
+        if mode == "last":
+            add_from(self.last_frame.mp_ids)
+        elif mode == "kf":
+            if ref is not None:
+                add_from(ref.mp_ids)
+        else:  # "kf_local"
+            add_from(self.last_frame.mp_ids)
+            if len(pids) < 150 and ref is not None:
+                add_from(ref.mp_ids)
+            if len(pids) < 150 and ref is not None:
+                for kid in ref.best_covisible(5):
+                    kf = self.map.keyframes.get(kid)
+                    if kf is None or kf.bad:
+                        continue
+                    n_kfs += 1
+                    add_from(kf.mp_ids)
+                    if len(pids) >= 150:
+                        break
         return pids[:P], n_kfs
 
     def _pad_mp_arrays(self, pids: List[int], cap: int, desc_src: np.ndarray):
