@@ -96,7 +96,13 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
     if cov_method == "auto":
         cov_method = ("pallas" if jax.default_backend() == "tpu"
                       else "windowed")
-    if cov_method == "pallas":
+    if cov_method == "none":
+        # ablation hook for stage profiling (scripts/profile_r3.py): unit
+        # covariance, response = 0
+        ones = jnp.ones(kps.uv.shape[:-1] + (2,), jnp.float32)
+        cov2, cov2_inv = ones, ones
+        response = jnp.zeros(kps.uv.shape[:-1], jnp.float32)
+    elif cov_method == "pallas":
         from sp_orb_slam_tpu.ops import pallas_cov
 
         cov2, cov2_inv, response = pallas_cov.pallas_covariance(

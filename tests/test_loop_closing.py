@@ -52,20 +52,15 @@ def _apply(S, X):
     return s * (X @ R.T) + t
 
 
-def test_loop_detection_and_correction(cfg):
+def build_drifted_loop_map(cfg, world, n_frames=34, n_revisit=6):
+    """Populate `world` with a drifted keyframe circle (see module doc).
+
+    Returns (ds, kfs).  Shared by the direct loop test and the
+    reset-survival test (tests/test_reset_loop.py)."""
     import jax.numpy as jnp
 
-    n_frames = 34
-    n_revisit = 6  # final frames re-enter the start region with *duplicate*
-    # map points (the realistic pre-loop state: tracking cannot match the
-    # drifted old map, so the region is re-triangulated)
     ds = SyntheticDataset(cfg, n_frames=n_frames, n_points=9000, seed=2,
                           pixel_noise=0.1, loop=True)
-    world = Map()
-    kernels = TrackingKernels(cfg)
-    mapper = LocalMapping(cfg, world, kernels)
-    looper = LoopClosing(cfg, world, kernels, mapper)
-
     first_seen = {}   # scene id -> mp
     revisit_seen = {}  # duplicates for the revisit segment
     kfs = []
@@ -121,6 +116,17 @@ def test_loop_detection_and_correction(cfg):
         last_kf = max(mp.obs)
         world.update_desc_track(mp, last_kf, mp.obs[last_kf])
         world.update_normal_and_depth(mp)
+
+    return ds, kfs
+
+
+def test_loop_detection_and_correction(cfg):
+    world = Map()
+    kernels = TrackingKernels(cfg)
+    mapper = LocalMapping(cfg, world, kernels)
+    looper = LoopClosing(cfg, world, kernels, mapper)
+    ds, kfs = build_drifted_loop_map(cfg, world)
+    n_frames = 34
 
     # sanity: drifted map is locally consistent
     errs = []
