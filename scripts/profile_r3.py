@@ -25,7 +25,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--variants", default="full-gather,full-dense,no-cov,cov-standalone")
+    ap.add_argument("--variants",
+                    default="full-gather,full-dense,full-packed,no-cov,"
+                            "cov-standalone")
     args = ap.parse_args()
 
     import jax
@@ -56,7 +58,7 @@ def main():
     prev_uv = jnp.asarray(rng.random((B, K, 2), np.float32) * 400)
     prev_valid = jnp.ones((B, K), bool)
 
-    def make_step(desc_method="gather", cov="pallas"):
+    def make_step(desc_method="gather", cov="pallas", packing="none"):
         @jax.jit
         def step(images, prev_desc, prev_uv, prev_valid):
             feats = extract(
@@ -68,7 +70,7 @@ def main():
                 cov_iters=cfg.extractor.cov_iters,
                 cov_method="none" if cov == "none" else "pallas",
                 nms_method="pallas", desc_method=desc_method,
-                compute_dtype=jnp.bfloat16)
+                conv_packing=packing, compute_dtype=jnp.bfloat16)
 
             def match_one(desc, uv, valid, pdesc, puv, pvalid):
                 m = matching.search_for_initialization(
@@ -102,6 +104,12 @@ def main():
         results["full_dense_ms"] = round(ms, 2)
         results["full_dense_fps"] = round(B / ms * 1e3, 1)
         print("full-dense:", results["full_dense_ms"], "ms/batch", flush=True)
+    if "full-packed" in want:
+        ms = timeit(make_step("dense", packing="s2d"), images, prev_desc,
+                    prev_uv, prev_valid)
+        results["full_packed_ms"] = round(ms, 2)
+        results["full_packed_fps"] = round(B / ms * 1e3, 1)
+        print("full-packed:", results["full_packed_ms"], "ms/batch", flush=True)
     if "no-cov" in want:
         # windowed+iters=0 ablation removes the pallas custom call entirely
         ms = timeit(make_step("dense", cov="none"), images, prev_desc,

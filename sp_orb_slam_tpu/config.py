@@ -250,6 +250,12 @@ class ExtractorConfig:
     #                            cell's candidate + one emission row gather
     #                            (bit-exact, models/superpoint.py
     #                            sample_descriptors_dense)
+    conv_packing: str = "none"  # "s2d" runs the first conv pair on the 2x2
+    #                             space-to-depth layout (exact weight
+    #                             repacking, models/superpoint.py
+    #                             _pack_first_pair): full-lane MXU convs at
+    #                             1/4 the positions instead of 1- and
+    #                             64-channel full-res convs
     dtype: str = "float32"     # compute dtype of the conv net ("bfloat16" for speed)
 
 

@@ -45,11 +45,12 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             nms_dist: int = 4, border: int = 8, nms_iters: int = 16,
             cov_radius: int = 8, cov_iters: int = 16,
             cov_method: str = "auto", nms_method: str = "auto",
-            desc_method: str = "auto",
+            desc_method: str = "auto", conv_packing: str = "none",
             compute_dtype=jnp.float32) -> Features:
     """images: (B, H, W) float32 in [0, 1]."""
     B, H, W = images.shape
     out = superpoint.forward(params, images, conf_thresh=conf_thresh,
+                             conv_packing=conv_packing,
                              compute_dtype=compute_dtype)
 
     if nms_method == "auto":
@@ -138,6 +139,7 @@ def make_extractor(cfg: Config, params):
             border=ex.border, nms_iters=ex.nms_iters,
             cov_radius=ex.cov_window, cov_iters=ex.cov_iters,
             cov_method=ex.cov_method, nms_method=ex.nms_method,
-            desc_method=ex.desc_method, compute_dtype=dtype)
+            desc_method=ex.desc_method, conv_packing=ex.conv_packing,
+            compute_dtype=dtype)
 
     return run

@@ -115,8 +115,65 @@ def _maxpool2(x):
     )
 
 
+def _pack_first_pair(params: Dict[str, Any]):
+    """Exact space-to-depth repacking of conv1a/conv1b weights.
+
+    The first conv pair runs at full resolution with 1 and 64 channels —
+    on the MXU that under-fills both the contraction dim (1*3*3 = 9 of
+    128) and the output-lane dim (64 of 128).  Working on the 2x2
+    space-to-depth layout (B, H/2, W/2, 4) instead, the SAME math becomes
+    two 3x3 convs with 4->256 and 256->256 channels (full lanes, 1/4 the
+    spatial positions, identical FLOPs):
+
+      out(2i+a, 2j+b, k) = sum_{dy,dx} w[dy,dx] x(2i+a+dy, 2j+b+dx)
+
+    maps tap (dy, dx) of output sub-position (a, b) onto packed offset
+    (floor((a+dy)/2), floor((b+dx)/2)) and packed channels
+    ((a+dy)%2, (b+dx)%2); the packed zero-padding ring reproduces the
+    full-resolution padding exactly (taps never reach row/col -2).
+    The 2x2 maxpool after the pair becomes a max over the 4 sub-position
+    channel groups, after which the stack continues unchanged.
+    """
+    w1a = np.asarray(params["conv1a"]["w"])  # (3, 3, 1, 64)
+    b1a = np.asarray(params["conv1a"]["b"])
+    w1b = np.asarray(params["conv1b"]["w"])  # (3, 3, 64, 64)
+    b1b = np.asarray(params["conv1b"]["b"])
+    C = w1a.shape[-1]
+
+    wp1a = np.zeros((3, 3, 4, 4 * C), w1a.dtype)
+    bp1a = np.zeros(4 * C, b1a.dtype)
+    wp1b = np.zeros((3, 3, 4 * C, 4 * C), w1b.dtype)
+    bp1b = np.zeros(4 * C, b1b.dtype)
+    for a in (0, 1):
+        for b in (0, 1):
+            s_out = 2 * a + b
+            bp1a[s_out * C:(s_out + 1) * C] = b1a
+            bp1b[s_out * C:(s_out + 1) * C] = b1b
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    pm = (a + dy) // 2
+                    pn = (b + dx) // 2
+                    s_in = 2 * ((a + dy) % 2) + ((b + dx) % 2)
+                    wp1a[pm + 1, pn + 1, s_in, s_out * C:(s_out + 1) * C] \
+                        += w1a[dy + 1, dx + 1, 0]
+                    wp1b[pm + 1, pn + 1, s_in * C:(s_in + 1) * C,
+                         s_out * C:(s_out + 1) * C] += w1b[dy + 1, dx + 1]
+    return ({"w": jnp.asarray(wp1a), "b": jnp.asarray(bp1a)},
+            {"w": jnp.asarray(wp1b), "b": jnp.asarray(bp1b)})
+
+
+def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); sub-position s = 2*dy + dx is the
+    leading factor of the packed channel index."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        B, H // 2, W // 2, 4 * C)
+
+
 def forward(params: Dict[str, Any], images: jnp.ndarray, *,
             conf_thresh: float = 0.007, cell: int = 8,
+            conv_packing: str = "none",
             compute_dtype=jnp.float32) -> FrontendOut:
     """Run the frontend on images (B, H, W) float32 in [0, 1].
 
@@ -127,9 +184,20 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
     hc, wc = H // cell, W // cell
     x = images[..., None].astype(compute_dtype)
 
-    x = _conv(x, params["conv1a"])
-    x = _conv(x, params["conv1b"])
-    x = _maxpool2(x)
+    if conv_packing == "s2d":
+        # exact packed first pair (see _pack_first_pair): full-lane MXU
+        # convs at quarter spatial size; the trailing maxpool collapses the
+        # 4 sub-position groups back to the (H/2, W/2, 64) the stack expects
+        p1a, p1b = _pack_first_pair(params)
+        xp = _space_to_depth(x)
+        xp = _conv(xp, p1a)
+        xp = _conv(xp, p1b)
+        Bq, Hq, Wq, Cq = xp.shape
+        x = jnp.max(xp.reshape(Bq, Hq, Wq, 4, Cq // 4), axis=3)
+    else:
+        x = _conv(x, params["conv1a"])
+        x = _conv(x, params["conv1b"])
+        x = _maxpool2(x)
     x = _conv(x, params["conv2a"])
     x = _conv(x, params["conv2b"])
     x = _maxpool2(x)

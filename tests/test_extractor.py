@@ -332,3 +332,18 @@ def test_extract_desc_methods_agree(params, images):
     np.testing.assert_array_equal(np.asarray(a.uv), np.asarray(b.uv))
     np.testing.assert_allclose(np.asarray(a.desc), np.asarray(b.desc),
                                atol=1e-6)
+
+
+def test_s2d_conv_packing_matches_standard(params, images):
+    """The space-to-depth first-pair repacking (superpoint._pack_first_pair)
+    must be numerically equivalent to the standard full-resolution pair."""
+    a = superpoint.forward(params, jnp.asarray(images))
+    b = superpoint.forward(params, jnp.asarray(images), conv_packing="s2d")
+    np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.semi_dust),
+                               np.asarray(b.semi_dust), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.coarse_desc),
+                               np.asarray(b.coarse_desc), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a.cand_uv),
+                                  np.asarray(b.cand_uv))
