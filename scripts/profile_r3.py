@@ -33,11 +33,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          f"/root/repo/.jax_cache/{jax.default_backend()}")
-    except Exception:
-        pass
+    # NOTE: no persistent compile cache here — loading cache entries
+    # written by a previous tunnel session reproducibly hangs the axon
+    # client (see .claude/skills/verify/SKILL.md "TPU tunnel discipline").
 
     from functools import partial
 

@@ -42,13 +42,16 @@ def main() -> None:
     import jax
 
     backend = jax.default_backend()
-    try:  # persistent compile cache: repeat sweeps skip the tunnel compiles.
-        # Keyed by backend: CPU AOT results are machine-specific and the
-        # axon remote host is a different machine than this one.
-        jax.config.update("jax_compilation_cache_dir",
-                          f"/root/repo/.jax_cache/{backend}")
-    except Exception:
-        pass
+    # Persistent compile cache only on CPU: loading TPU cache entries
+    # written by a previous tunnel session reproducibly hangs the axon
+    # client (verify skill, "TPU tunnel discipline"); CPU AOT entries are
+    # also machine-specific, hence the backend-keyed directory.
+    if backend == "cpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              "/root/repo/.jax_cache/cpu")
+        except Exception:
+            pass
 
     import numpy as np
 
