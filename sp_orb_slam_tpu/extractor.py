@@ -74,8 +74,11 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
     )(out.score, out.cand_uv, out.cand_valid, alive)
 
     if desc_method == "auto":
-        desc_method = ("dense" if jax.default_backend() == "tpu"
-                       else "gather")
+        # measured on v5e (scripts/profile_r3.py, round 3): the 4-corner
+        # gather beats the dense 9-tap stencil in-graph (45.4 vs 48.5
+        # ms/batch at B=32) — the stencil pays descriptor math for all
+        # 5640 cells where only ~800 emit; "dense" stays available
+        desc_method = "gather"
     if desc_method == "dense":
         # stencil-sample every cell's candidate, then pick each surviving
         # keypoint's own cell row (keypoint uv == its cell's candidate uv,

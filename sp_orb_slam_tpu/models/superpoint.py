@@ -95,18 +95,23 @@ def _conv(x, p, *, relu=True):
     # truncates operands to bf16); in bfloat16 mode the operands already are.
     precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
+    # Output dtype = compute dtype: requesting f32 conv outputs in bf16 mode
+    # forces an f32 round trip of every inter-layer activation through HBM
+    # (the conv is a fusion root; the bias/relu/cast fusion re-reads it) —
+    # the MXU still accumulates in f32 internally either way, only the
+    # store rounding moves before the bias add.
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
         precision=precision,
     )
-    y = y + p["b"].astype(jnp.float32)
+    y = y + p["b"].astype(x.dtype)
     if relu:
-        y = jnp.maximum(y, 0.0)
-    return y.astype(x.dtype)
+        y = jnp.maximum(y, jnp.zeros((), x.dtype))
+    return y
 
 
 def _maxpool2(x):
