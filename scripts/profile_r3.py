@@ -108,6 +108,14 @@ def main():
         results["full_packed_ms"] = round(ms, 2)
         results["full_packed_fps"] = round(B / ms * 1e3, 1)
         print("full-packed:", results["full_packed_ms"], "ms/batch", flush=True)
+    for lvl in ("s2d", "s2d2", "s2d3"):
+        if f"full-gather-{lvl}" in want:
+            ms = timeit(make_step("gather", packing=lvl), images, prev_desc,
+                        prev_uv, prev_valid)
+            results[f"full_gather_{lvl}_ms"] = round(ms, 2)
+            results[f"full_gather_{lvl}_fps"] = round(B / ms * 1e3, 1)
+            print(f"full-gather-{lvl}:", results[f"full_gather_{lvl}_ms"],
+                  "ms/batch", flush=True)
     if "no-cov" in want:
         # windowed+iters=0 ablation removes the pallas custom call entirely
         ms = timeit(make_step("dense", cov="none"), images, prev_desc,

@@ -243,19 +243,20 @@ class ExtractorConfig:
     #                            to the reference BFS semantics), or "dense"
     #                            (label-propagation ownership)
     desc_method: str = "auto"  # descriptor bilinear sampling: "auto" =
-    #                            "dense" on TPU, "gather" else.  "gather" =
-    #                            per-keypoint 4-corner row gather (XLA
-    #                            dynamic-slice chain, ~20x off bandwidth on
-    #                            v5e); "dense" = 9-tap stencil over every
-    #                            cell's candidate + one emission row gather
-    #                            (bit-exact, models/superpoint.py
+    #                            "gather" (measured faster in-graph on v5e,
+    #                            round 3).  "gather" = per-keypoint 4-corner
+    #                            row gather; "dense" = 9-tap stencil over
+    #                            every cell's candidate + one emission row
+    #                            gather (bit-exact to gather,
+    #                            models/superpoint.py
     #                            sample_descriptors_dense)
-    conv_packing: str = "none"  # "s2d" runs the first conv pair on the 2x2
-    #                             space-to-depth layout (exact weight
-    #                             repacking, models/superpoint.py
-    #                             _pack_first_pair): full-lane MXU convs at
-    #                             1/4 the positions instead of 1- and
-    #                             64-channel full-res convs
+    conv_packing: str = "none"  # "s2d"/"s2d2"/"s2d3" run the first 1/2/3
+    #                             conv pairs on the 2x2 space-to-depth
+    #                             layout (exact weight repacking,
+    #                             models/superpoint.py _pack_pair).
+    #                             Measured a NET LOSS on v5e at every depth
+    #                             (45.0 -> 54.6/62.1/68.4 ms/batch, round
+    #                             3); default stays "none"
     dtype: str = "float32"     # compute dtype of the conv net ("bfloat16" for speed)
 
 

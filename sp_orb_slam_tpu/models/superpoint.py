@@ -95,23 +95,22 @@ def _conv(x, p, *, relu=True):
     # truncates operands to bf16); in bfloat16 mode the operands already are.
     precision = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
-    # Output dtype = compute dtype: requesting f32 conv outputs in bf16 mode
-    # forces an f32 round trip of every inter-layer activation through HBM
-    # (the conv is a fusion root; the bias/relu/cast fusion re-reads it) —
-    # the MXU still accumulates in f32 internally either way, only the
-    # store rounding moves before the bias add.
+    # f32 conv outputs + fused bias/relu/cast: measured FASTER than
+    # bf16-direct conv outputs on v5e (45.4 vs 48.5 ms/batch at B=32,
+    # scripts/profile_r3.py round 3) — the bf16-output lowering loses more
+    # in the conv custom call than it saves in inter-layer traffic.
     y = jax.lax.conv_general_dilated(
         x, w,
         window_strides=(1, 1),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype,
+        preferred_element_type=jnp.float32,
         precision=precision,
     )
-    y = y + p["b"].astype(x.dtype)
+    y = y + p["b"].astype(jnp.float32)
     if relu:
-        y = jnp.maximum(y, jnp.zeros((), x.dtype))
-    return y
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
 
 
 def _maxpool2(x):
@@ -120,51 +119,61 @@ def _maxpool2(x):
     )
 
 
-def _pack_first_pair(params: Dict[str, Any]):
-    """Exact space-to-depth repacking of conv1a/conv1b weights.
-
-    The first conv pair runs at full resolution with 1 and 64 channels —
-    on the MXU that under-fills both the contraction dim (1*3*3 = 9 of
-    128) and the output-lane dim (64 of 128).  Working on the 2x2
-    space-to-depth layout (B, H/2, W/2, 4) instead, the SAME math becomes
-    two 3x3 convs with 4->256 and 256->256 channels (full lanes, 1/4 the
-    spatial positions, identical FLOPs):
+def _pack_conv(w: np.ndarray, b: np.ndarray):
+    """Exact 2x2 space-to-depth repacking of one 3x3 `same`-padded conv:
+    (3, 3, Cin, Cout) -> (3, 3, 4*Cin, 4*Cout) operating on the packed
+    (H/2, W/2, 4*Cin) layout.
 
       out(2i+a, 2j+b, k) = sum_{dy,dx} w[dy,dx] x(2i+a+dy, 2j+b+dx)
 
     maps tap (dy, dx) of output sub-position (a, b) onto packed offset
-    (floor((a+dy)/2), floor((b+dx)/2)) and packed channels
+    (floor((a+dy)/2), floor((b+dx)/2)) and packed input sub-position
     ((a+dy)%2, (b+dx)%2); the packed zero-padding ring reproduces the
     full-resolution padding exactly (taps never reach row/col -2).
-    The 2x2 maxpool after the pair becomes a max over the 4 sub-position
-    channel groups, after which the stack continues unchanged.
     """
-    w1a = np.asarray(params["conv1a"]["w"])  # (3, 3, 1, 64)
-    b1a = np.asarray(params["conv1a"]["b"])
-    w1b = np.asarray(params["conv1b"]["w"])  # (3, 3, 64, 64)
-    b1b = np.asarray(params["conv1b"]["b"])
-    C = w1a.shape[-1]
-
-    wp1a = np.zeros((3, 3, 4, 4 * C), w1a.dtype)
-    bp1a = np.zeros(4 * C, b1a.dtype)
-    wp1b = np.zeros((3, 3, 4 * C, 4 * C), w1b.dtype)
-    bp1b = np.zeros(4 * C, b1b.dtype)
+    _, _, Cin, Cout = w.shape
+    wp = np.zeros((3, 3, 4 * Cin, 4 * Cout), w.dtype)
+    bp = np.zeros(4 * Cout, b.dtype)
     for a in (0, 1):
-        for b in (0, 1):
-            s_out = 2 * a + b
-            bp1a[s_out * C:(s_out + 1) * C] = b1a
-            bp1b[s_out * C:(s_out + 1) * C] = b1b
+        for c in (0, 1):
+            s_out = 2 * a + c
+            bp[s_out * Cout:(s_out + 1) * Cout] = b
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
                     pm = (a + dy) // 2
-                    pn = (b + dx) // 2
-                    s_in = 2 * ((a + dy) % 2) + ((b + dx) % 2)
-                    wp1a[pm + 1, pn + 1, s_in, s_out * C:(s_out + 1) * C] \
-                        += w1a[dy + 1, dx + 1, 0]
-                    wp1b[pm + 1, pn + 1, s_in * C:(s_in + 1) * C,
-                         s_out * C:(s_out + 1) * C] += w1b[dy + 1, dx + 1]
-    return ({"w": jnp.asarray(wp1a), "b": jnp.asarray(bp1a)},
-            {"w": jnp.asarray(wp1b), "b": jnp.asarray(bp1b)})
+                    pn = (c + dx) // 2
+                    s_in = 2 * ((a + dy) % 2) + ((c + dx) % 2)
+                    wp[pm + 1, pn + 1, s_in * Cin:(s_in + 1) * Cin,
+                       s_out * Cout:(s_out + 1) * Cout] += w[dy + 1, dx + 1]
+    return wp, bp
+
+
+def _pack_pair(params: Dict[str, Any], name_a: str, name_b: str):
+    """Pack a conv-conv-maxpool pair for the 2x2 space-to-depth layout.
+
+    The 1/64-channel early layers under-fill the MXU (contraction
+    1*3*3 = 9 of 128 for conv1a, 64 output lanes of 128 elsewhere); on
+    the packed layout the SAME math becomes convs with 4x the channels at
+    1/4 the spatial positions (full lanes, identical FLOPs).  The 2x2
+    maxpool that follows the pair collapses the 4 sub-position channel
+    groups (they ARE the pooling window), after which the stack continues
+    unchanged.
+
+    MEASURED (v5e, scripts/profile_r3.py, full fused program at B=32):
+    a NET LOSS at every depth — none 45.0 ms/batch, s2d 54.6, s2d2 62.1,
+    s2d3 68.4.  XLA's own conv lowering handles the 64-channel layers
+    better than this reformulation (the packed path adds space-to-depth
+    relayouts and 4x-larger weight matrices, and breaks XLA's
+    conv+bias+relu+cast epilogue fusion with the reshape/max unpack).
+    Kept as an exact, golden-tested option because the trade-off is
+    hardware/compiler-version dependent.
+    """
+    wa, ba = _pack_conv(np.asarray(params[name_a]["w"]),
+                        np.asarray(params[name_a]["b"]))
+    wb, bb = _pack_conv(np.asarray(params[name_b]["w"]),
+                        np.asarray(params[name_b]["b"]))
+    return ({"w": jnp.asarray(wa), "b": jnp.asarray(ba)},
+            {"w": jnp.asarray(wb), "b": jnp.asarray(bb)})
 
 
 def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
@@ -189,26 +198,21 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
     hc, wc = H // cell, W // cell
     x = images[..., None].astype(compute_dtype)
 
-    if conv_packing == "s2d":
-        # exact packed first pair (see _pack_first_pair): full-lane MXU
-        # convs at quarter spatial size; the trailing maxpool collapses the
-        # 4 sub-position groups back to the (H/2, W/2, 64) the stack expects
-        p1a, p1b = _pack_first_pair(params)
-        xp = _space_to_depth(x)
-        xp = _conv(xp, p1a)
-        xp = _conv(xp, p1b)
-        Bq, Hq, Wq, Cq = xp.shape
-        x = jnp.max(xp.reshape(Bq, Hq, Wq, 4, Cq // 4), axis=3)
-    else:
-        x = _conv(x, params["conv1a"])
-        x = _conv(x, params["conv1b"])
-        x = _maxpool2(x)
-    x = _conv(x, params["conv2a"])
-    x = _conv(x, params["conv2b"])
-    x = _maxpool2(x)
-    x = _conv(x, params["conv3a"])
-    x = _conv(x, params["conv3b"])
-    x = _maxpool2(x)
+    # "s2d" packs pair 1, "s2d2" pairs 1-2, "s2d3" pairs 1-3 (see
+    # _pack_pair): full-lane MXU convs at 1/4 the positions; the trailing
+    # max over sub-position groups IS the pair's 2x2 maxpool, so each
+    # packed pair hands the stock layout to the next stage.
+    depth = {"none": 0, "s2d": 1, "s2d2": 2, "s2d3": 3}[conv_packing]
+    for i, (na, nb) in enumerate(
+            (("conv1a", "conv1b"), ("conv2a", "conv2b"),
+             ("conv3a", "conv3b"))):
+        if i < depth:
+            pa, pb = _pack_pair(params, na, nb)
+            xp = _conv(_conv(_space_to_depth(x), pa), pb)
+            Bq, Hq, Wq, Cq = xp.shape
+            x = jnp.max(xp.reshape(Bq, Hq, Wq, 4, Cq // 4), axis=3)
+        else:
+            x = _maxpool2(_conv(_conv(x, params[na]), params[nb]))
     x = _conv(x, params["conv4a"])
     x = _conv(x, params["conv4b"])
 

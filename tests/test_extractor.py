@@ -334,11 +334,13 @@ def test_extract_desc_methods_agree(params, images):
                                atol=1e-6)
 
 
-def test_s2d_conv_packing_matches_standard(params, images):
-    """The space-to-depth first-pair repacking (superpoint._pack_first_pair)
-    must be numerically equivalent to the standard full-resolution pair."""
+@pytest.mark.parametrize("packing", ["s2d", "s2d2", "s2d3"])
+def test_s2d_conv_packing_matches_standard(params, images, packing):
+    """The space-to-depth pair repacking (superpoint._pack_pair) must be
+    numerically equivalent to the standard conv-conv-maxpool pairs at
+    every packing depth."""
     a = superpoint.forward(params, jnp.asarray(images))
-    b = superpoint.forward(params, jnp.asarray(images), conv_packing="s2d")
+    b = superpoint.forward(params, jnp.asarray(images), conv_packing=packing)
     np.testing.assert_allclose(np.asarray(a.score), np.asarray(b.score),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(a.semi_dust),
