@@ -14,6 +14,7 @@ cfg/euroc_mono.yaml:18).  The round target is >= 500 f/s/chip (BASELINE.json).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -162,6 +163,8 @@ def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
     dust_ms = timed(run_dust)
     local_ms = timed(run_local)
     step_ms = extract_ms_per_frame + dust_ms + local_ms
+    # stderr: the driver contract is ONE JSON line on stdout (the headline
+    # frames/s metric printed by main); this secondary metric rides stderr
     print(json.dumps({
         "metric": "slam_full_frame_step_ms_752x480",
         "value": round(step_ms, 2),
@@ -171,7 +174,7 @@ def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
         "stages_ms": {"extract_amortized": round(extract_ms_per_frame, 2),
                       "dust_track": round(dust_ms, 2),
                       "local_map_track": round(local_ms, 2)},
-    }))
+    }), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,41 @@ def main():
             return feats, n
         return step
 
+    def make_forward_only():
+        @jax.jit
+        def fwd(images):
+            return superpoint.forward(params, images, with_heat=False,
+                                      compute_dtype=jnp.bfloat16)
+        return fwd
+
+    def make_truncated(depth):
+        """Encoder prefix only: depth pairs of the VGG stack (bf16)."""
+        from sp_orb_slam_tpu.models.superpoint import _conv, _maxpool2
+
+        @jax.jit
+        def fwd(images):
+            x = images[..., None].astype(jnp.bfloat16)
+            names = (("conv1a", "conv1b"), ("conv2a", "conv2b"),
+                     ("conv3a", "conv3b"), ("conv4a", "conv4b"))
+            for i in range(depth):
+                na, nb = names[i]
+                x = _conv(_conv(x, params[na]), params[nb])
+                if i < 3:
+                    x = _maxpool2(x)
+            return x
+        return fwd
+
+    def make_single(name, cin):
+        from sp_orb_slam_tpu.models.superpoint import _conv
+
+        @jax.jit
+        def fwd(x):
+            return _conv(x, params[name])
+        rng2 = np.random.default_rng(1)
+        x = jnp.asarray(rng2.random((B, H, W, cin), np.float32)
+                        ).astype(jnp.bfloat16)
+        return fwd, x
+
     def timeit(fn, *a, iters=args.iters):
         out = fn(*a)
         jax.block_until_ready(out)
@@ -116,6 +151,81 @@ def main():
             results[f"full_gather_{lvl}_fps"] = round(B / ms * 1e3, 1)
             print(f"full-gather-{lvl}:", results[f"full_gather_{lvl}_ms"],
                   "ms/batch", flush=True)
+    if "full-pallasdesc" in want:
+        ms = timeit(make_step("pallas"), images, prev_desc, prev_uv,
+                    prev_valid)
+        results["full_pallasdesc_ms"] = round(ms, 2)
+        results["full_pallasdesc_fps"] = round(B / ms * 1e3, 1)
+        print("full-pallasdesc:", results["full_pallasdesc_ms"], "ms/batch",
+              flush=True)
+    if "forward-only" in want:
+        ms = timeit(make_forward_only(), images)
+        results["forward_only_ms"] = round(ms, 2)
+        print("forward-only:", results["forward_only_ms"], "ms/batch",
+              flush=True)
+    if "pair1-fused-only" in want:
+        from sp_orb_slam_tpu.ops import pallas_pair1
+
+        fn = jax.jit(lambda im: pallas_pair1.fused_pair1(im, params))
+        ms = timeit(fn, images)
+        results["pair1_fused_only_ms"] = round(ms, 2)
+        print("pair1-fused-only:", results["pair1_fused_only_ms"],
+              "ms/batch", flush=True)
+    for st in ("conva", "convb", "dots"):
+        if f"pair1-{st}" in want:
+            from sp_orb_slam_tpu.ops import pallas_pair1 as pp1
+
+            fn = jax.jit(lambda im, st=st: pp1.fused_pair1(im, params,
+                                                           stage=st))
+            ms = timeit(fn, images)
+            results[f"pair1_{st}_ms"] = round(ms, 2)
+            print(f"pair1-{st}:", results[f"pair1_{st}_ms"], "ms/batch",
+                  flush=True)
+    if "full-gather-pair1" in want:
+        ms = timeit(make_step("gather", packing="pair1"), images, prev_desc,
+                    prev_uv, prev_valid)
+        results["full_gather_pair1_ms"] = round(ms, 2)
+        results["full_gather_pair1_fps"] = round(B / ms * 1e3, 1)
+        print("full-gather-pair1:", results["full_gather_pair1_ms"],
+              "ms/batch", flush=True)
+    if "pair1t-fused-only" in want:
+        from sp_orb_slam_tpu.ops import pallas_pair1t
+
+        fn = jax.jit(lambda im: pallas_pair1t.fused_pair1t(im, params))
+        ms = timeit(fn, images)
+        results["pair1t_fused_only_ms"] = round(ms, 2)
+        print("pair1t-fused-only:", results["pair1t_fused_only_ms"],
+              "ms/batch", flush=True)
+    for st in ("conva", "convb"):
+        if f"pair1t-{st}" in want:
+            from sp_orb_slam_tpu.ops import pallas_pair1t as pp1t
+
+            fn = jax.jit(lambda im, st=st: pp1t.fused_pair1t(im, params,
+                                                             stage=st))
+            ms = timeit(fn, images)
+            results[f"pair1t_{st}_ms"] = round(ms, 2)
+            print(f"pair1t-{st}:", results[f"pair1t_{st}_ms"], "ms/batch",
+                  flush=True)
+    if "full-gather-pair1t" in want:
+        ms = timeit(make_step("gather", packing="pair1t"), images, prev_desc,
+                    prev_uv, prev_valid)
+        results["full_gather_pair1t_ms"] = round(ms, 2)
+        results["full_gather_pair1t_fps"] = round(B / ms * 1e3, 1)
+        print("full-gather-pair1t:", results["full_gather_pair1t_ms"],
+              "ms/batch", flush=True)
+    for nm, cin in (("conv1a", 1), ("conv1b", 64)):
+        if f"{nm}-only" in want:
+            fn, x = make_single(nm, cin)
+            ms = timeit(fn, x)
+            results[f"{nm}_only_ms"] = round(ms, 2)
+            print(f"{nm}-only:", results[f"{nm}_only_ms"], "ms/batch",
+                  flush=True)
+    for d in (1, 2, 4):
+        if f"encoder{d}" in want:
+            ms = timeit(make_truncated(d), images)
+            results[f"encoder{d}_ms"] = round(ms, 2)
+            print(f"encoder{d}:", results[f"encoder{d}_ms"], "ms/batch",
+                  flush=True)
     if "no-cov" in want:
         # windowed+iters=0 ablation removes the pallas custom call entirely
         ms = timeit(make_step("dense", cov="none"), images, prev_desc,

@@ -46,11 +46,19 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             cov_radius: int = 8, cov_iters: int = 16,
             cov_method: str = "auto", nms_method: str = "auto",
             desc_method: str = "auto", conv_packing: str = "none",
+            with_heat: bool = False,
             compute_dtype=jnp.float32) -> Features:
-    """images: (B, H, W) float32 in [0, 1]."""
+    """images: (B, H, W) float32 in [0, 1].
+
+    `with_heat=False` (default) skips the full-res `heat` output — only the
+    heat-alignment coarse-tracker variant reads it, and each (B, H, W) f32
+    output costs ~1.5 GB of HBM writes per 32-image batch.  `heat_inv`
+    (covariance input) is always produced.
+    """
     B, H, W = images.shape
     out = superpoint.forward(params, images, conf_thresh=conf_thresh,
                              conv_packing=conv_packing,
+                             with_heat=with_heat,
                              compute_dtype=compute_dtype)
 
     if nms_method == "auto":
@@ -79,13 +87,20 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
         # ms/batch at B=32) — the stencil pays descriptor math for all
         # 5640 cells where only ~800 emit; "dense" stays available
         desc_method = "gather"
-    if desc_method == "dense":
+    if desc_method in ("dense", "pallas"):
         # stencil-sample every cell's candidate, then pick each surviving
         # keypoint's own cell row (keypoint uv == its cell's candidate uv,
         # so the values are bit-identical to the gather path)
-        dense = jax.vmap(partial(superpoint.sample_descriptors_dense,
-                                 image_hw=(H, W)))(out.coarse_desc,
-                                                   out.cand_uv)
+        if desc_method == "pallas":
+            from sp_orb_slam_tpu.ops import pallas_desc
+
+            dense = pallas_desc.pallas_sample_descriptors_dense(
+                out.coarse_desc, out.cand_uv, image_hw=(H, W),
+                interpret=jax.default_backend() != "tpu")
+        else:
+            dense = jax.vmap(partial(superpoint.sample_descriptors_dense,
+                                     image_hw=(H, W)))(out.coarse_desc,
+                                                       out.cand_uv)
         hc, wc = H // 8, W // 8
         cy = jnp.clip(kps.uv[..., 1].astype(jnp.int32) // 8, 0, hc - 1)
         cx = jnp.clip(kps.uv[..., 0].astype(jnp.int32) // 8, 0, wc - 1)
@@ -143,6 +158,7 @@ def make_extractor(cfg: Config, params):
             cov_radius=ex.cov_window, cov_iters=ex.cov_iters,
             cov_method=ex.cov_method, nms_method=ex.nms_method,
             desc_method=ex.desc_method, conv_packing=ex.conv_packing,
+            with_heat=(cfg.tracking.coarse_method == "heat"),
             compute_dtype=dtype)
 
     return run

@@ -188,6 +188,7 @@ def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
 def forward(params: Dict[str, Any], images: jnp.ndarray, *,
             conf_thresh: float = 0.007, cell: int = 8,
             conv_packing: str = "none",
+            with_heat: bool = True,
             compute_dtype=jnp.float32) -> FrontendOut:
     """Run the frontend on images (B, H, W) float32 in [0, 1].
 
@@ -201,11 +202,32 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
     # "s2d" packs pair 1, "s2d2" pairs 1-2, "s2d3" pairs 1-3 (see
     # _pack_pair): full-lane MXU convs at 1/4 the positions; the trailing
     # max over sub-position groups IS the pair's 2x2 maxpool, so each
-    # packed pair hands the stock layout to the next stage.
-    depth = {"none": 0, "s2d": 1, "s2d2": 2, "s2d3": 3}[conv_packing]
+    # packed pair hands the stock layout to the next stage.  "pair1" /
+    # "pair1t" run the first pair as a fused Pallas kernel
+    # (ops/pallas_pair1.py im2col-transpose layout / ops/pallas_pair1t.py
+    # transposed layout, bfloat16 path only) — conv + bias + relu + pool
+    # in one pass with no full-resolution HBM round trips.
+    depth = {"none": 0, "s2d": 1, "s2d2": 2, "s2d3": 3,
+             "pair1": 0, "pair1t": 0}[conv_packing]
+    start = 0
+    if conv_packing in ("pair1", "pair1t"):
+        assert compute_dtype == jnp.bfloat16, \
+            "pair1 fused kernels are the bfloat16 path"
+        interp = jax.default_backend() != "tpu"
+        if conv_packing == "pair1":
+            from sp_orb_slam_tpu.ops import pallas_pair1
+
+            x = pallas_pair1.fused_pair1(images, params, interpret=interp)
+        else:
+            from sp_orb_slam_tpu.ops import pallas_pair1t
+
+            x = pallas_pair1t.fused_pair1t(images, params, interpret=interp)
+        start = 1
     for i, (na, nb) in enumerate(
             (("conv1a", "conv1b"), ("conv2a", "conv2b"),
              ("conv3a", "conv3b"))):
+        if i < start:
+            continue
         if i < depth:
             pa, pb = _pack_pair(params, na, nb)
             xp = _conv(_conv(_space_to_depth(x), pa), pb)
@@ -239,15 +261,19 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
     # full-res log-prob heat + the host wrapper's normalization
     # (sp_extractor.cpp:128-131, 466-478): img = -log(clamp(p, 1e-3));
     # heat = (img - min) / (max - min), heat_inv = 1 - heat.
+    # The min/max reduce runs on the cell layout BEFORE the pixel-shuffle
+    # transpose (same values, cheaper access pattern), and `heat` — used
+    # only by the heat-alignment tracker variant — is materialized only on
+    # request: every full-res (B, H, W) f32 output costs ~1.5 GB of HBM
+    # writes per 32-image batch.
     heat_log = jnp.log(jnp.clip(nodust, 1e-3, None))
+    mn = jnp.min(-heat_log, axis=(1, 2, 3)).reshape(B, 1, 1)
+    mx = jnp.max(-heat_log, axis=(1, 2, 3)).reshape(B, 1, 1)
     # pixel_shuffle(x, 8): out[v*8+dy, u*8+dx] = in[dy*8+dx] at cell (v, u)
     heat_full = heat_log.reshape(B, hc, wc, cell, cell)
     heat_full = jnp.transpose(heat_full, (0, 1, 3, 2, 4)).reshape(B, H, W)
-    img = -heat_full
-    mn = jnp.min(img, axis=(1, 2), keepdims=True)
-    mx = jnp.max(img, axis=(1, 2), keepdims=True)
-    heat = (img - mn) / (mx - mn)
-    heat_inv = 1.0 - heat
+    heat_inv = (mx + heat_full) / (mx - mn)  # == 1 - (-heat_full - mn)/(mx - mn)
+    heat = (1.0 - heat_inv) if with_heat else None
 
     return FrontendOut(semi_dust, dense_dust, score, cand_uv, cand_valid,
                        coarse, heat, heat_inv)

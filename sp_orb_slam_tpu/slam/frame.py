@@ -142,5 +142,5 @@ def frame_from_features(feats: Features, b: int, frame_id: int,
         desc_dev=feats.desc[b],
         dust_dev=feats.dense_dust[b],
         occ_grid_dev=feats.occ_grid[b],
-        heat_dev=feats.heat[b],
+        heat_dev=feats.heat[b] if feats.heat is not None else None,
     )
