@@ -250,13 +250,18 @@ class ExtractorConfig:
     #                            gather (bit-exact to gather,
     #                            models/superpoint.py
     #                            sample_descriptors_dense)
-    conv_packing: str = "none"  # "s2d"/"s2d2"/"s2d3" run the first 1/2/3
-    #                             conv pairs on the 2x2 space-to-depth
-    #                             layout (exact weight repacking,
-    #                             models/superpoint.py _pack_pair).
-    #                             Measured a NET LOSS on v5e at every depth
-    #                             (45.0 -> 54.6/62.1/68.4 ms/batch, round
-    #                             3); default stays "none"
+    conv_packing: str = "auto"  # "auto" = the fused transposed-layout
+    #                             Pallas kernel for the first conv pair
+    #                             ("pair1t", ops/pallas_pair1t.py) on the
+    #                             TPU bf16 path (45.1 -> 36.3 ms/batch at
+    #                             B=32 752x480, round 3), "none" elsewhere.
+    #                             Other values: "pair1" (first fused-kernel
+    #                             layout, measured slower: 33 ms standalone
+    #                             vs 12.4 for pair1t), "s2d"/"s2d2"/"s2d3"
+    #                             space-to-depth packing of the first 1/2/3
+    #                             pairs (exact weight repacking, a measured
+    #                             NET LOSS on v5e at every depth: 45.0 ->
+    #                             54.6/62.1/68.4 ms/batch)
     dtype: str = "float32"     # compute dtype of the conv net ("bfloat16" for speed)
 
 

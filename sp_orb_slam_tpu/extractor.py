@@ -45,7 +45,7 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             nms_dist: int = 4, border: int = 8, nms_iters: int = 16,
             cov_radius: int = 8, cov_iters: int = 16,
             cov_method: str = "auto", nms_method: str = "auto",
-            desc_method: str = "auto", conv_packing: str = "none",
+            desc_method: str = "auto", conv_packing: str = "auto",
             with_heat: bool = False,
             compute_dtype=jnp.float32) -> Features:
     """images: (B, H, W) float32 in [0, 1].
@@ -56,6 +56,15 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
     (covariance input) is always produced.
     """
     B, H, W = images.shape
+    if conv_packing == "auto":
+        # fused transposed-layout Pallas pair-1 kernel on the TPU bf16
+        # path: 45.1 -> 36.3 ms/batch at B=32 752x480 (round 3); interpret
+        # mode would only slow the CPU path down, and the kernel needs
+        # 8-row tiles / column parity
+        conv_packing = ("pair1t" if (compute_dtype == jnp.bfloat16
+                                     and jax.default_backend() == "tpu"
+                                     and H % 8 == 0 and W % 2 == 0)
+                        else "none")
     out = superpoint.forward(params, images, conf_thresh=conf_thresh,
                              conv_packing=conv_packing,
                              with_heat=with_heat,

@@ -10,38 +10,52 @@ B=32 752x480 vs XLA's 24.1 ms for the same pair.  The bisect put 23.4 ms in
 the conv1a half — the in-kernel (rows, cols)->(cols, taps) transposes plus
 9-tap lane-column builds (whether as masked single-lane stores or one-hot
 FMA assembles) dominate, and the conv1b half paid 3 MB/step of row-pair
-repack copies.  This layout removes all of it:
+repack copies.  This layout removes all of it.
 
-- image columns live in LANES everywhere; nothing is ever transposed
-  in-kernel (the one transpose left — pooled output channels-last — is a
-  single XLA transpose of the 185 MB result, ~1 ms);
-- conv1a's im2col becomes CONTIGUOUS-ROW stores: with tap-major ordering
-  x9t[Y1R*k + j] = window[dy(k) + 1 + j], each tap k is ONE (Y1R, W2p)
-  sublane-range copy from the assembled window — 9 wide stores per parity
-  stream instead of 90 column builds;
-- conv1a itself is a constant block-diagonal matmul: y1T (Y1R*64, W2p) =
-  Wblk (Y1R*64, 9*Y1R) @ x9t, Wblk[64j+ch, Y1R*k+j'] = w1a[k, ch] iff
+The 2x2 pool splits image columns into even/odd parity streams, and
+conv1b's +-1 full-res column taps need the parity streams shifted by one
+column as well.  Mosaic has no bf16 lane rotate ("Rotate with non-32-bit
+data"), so instead of shifting in-kernel, ALL column streams the kernel
+ever reads are precomputed in XLA as one lane-concatenated array:
+
+    xcomb (B, H, 6*W2P) = [ even[c2-1] | odd[c2-1] | even | odd
+                            | even[c2+1] | odd[c2+1] ]
+
+(W2P = W/2 rounded up to a lane multiple; each stream zero-padded).  The
+kernel computes conv1a for FOUR output streams — m = full-res cols 2c2-1,
+e = 2c2, o = 2c2+1, p = 2c2+2 — which makes every value conv1b needs a
+plain aligned lane-block slice:
+
+- window assembly: 3 wide stores build rows t*RT-2..t*RT+RT+1 of all six
+  input streams at once (wincomb, (RT+4, 6*W2P));
+- im2col, tap-major: x9all[Y1R*k + j, 384*s + c2] = stream s's tap k at
+  y1 row j.  Tap k = (dy+1)*3 + (dx+1) of stream s reads input stream
+  s + dx + 1 — for fixed k the four source blocks are CONTIGUOUS, so the
+  whole build is 9 wide (Y1R, 4*W2P) copies at lane offset (dx+1)*W2P;
+- conv1a: ONE constant block-diagonal matmul y1all (Y1R*64, 4*W2P) =
+  Wblk (Y1R*64, 9*Y1R) @ x9all, Wblk[64j+ch, Y1R*k+j'] = w1a[k, ch] iff
   j == j' — channels land in sublanes, already in conv1b's layout;
-- conv1b needs y1 rows 2r-1..2r+2 for the output row pair (2r, 2r+1);
-  with y1 rows stacked 64-channels-per-row in sublanes those four rows are
-  the CONTIGUOUS sublane slice y1T[128*rp : 128*rp + 256] — so each
-  row-pair is three (128, 256) @ (256, W2p) matmuls (full contraction,
-  rhsT[dx][64h+co, 64q+ci] = w1b[q-h, dx, ci, co]) with no repacking;
-- the +-1 full-res column shifts between the even/odd streams that conv1b
-  needs are single pltpu.roll lane rotations of y1T (W2p is a multiple of
-  128 by construction) with the boundary lane zeroed;
-- 2x2 maxpool = elementwise max of the two column-parity accumulators
+- conv1b needs y1 rows 2r-1..2r+2 of streams (m, e, o) / (e, o, p) for
+  the output row pair (2r, 2r+1) at even/odd output columns; those are
+  the contiguous slices y1all[128*rp : 128*rp + 256, W2P*dxi : +W2P]
+  (sublanes: 64-channel y1 rows stacked; lanes: stream blocks), so each
+  row pair is six (128, 256) @ (256, W2P) matmuls with rhsT[dx][64h+co,
+  64q+ci] = w1b[q-h, dx, ci, co] — full contraction, no repacking;
+- 2x2 maxpool = elementwise max of the even/odd-column accumulators
   (column pool) and of the two 64-sublane halves (row pool).
 
-Per grid step (one image x one 8-row tile): 12 window-assembly stores,
-18 tap-range stores, 2 (640, 96) x (96, W2p) + 24 (128, 256) x (256, W2p)
-matmuls, 2 lane rolls — no transposes, no broadcasts-into-lanes, no
-masked read-modify-write stores.  HBM traffic is the grayscale input
-(read ~3x) and the pooled output, as in v1.
+Per grid step (one image x one 8-row tile): 3 + 9 wide aligned stores,
+1 (640, 96) x (96, 1536) + 24 (128, 256) x (256, W2P) matmuls — no
+transposes, no rotates, no broadcasts-into-lanes, no masked
+read-modify-write stores.  HBM traffic is the 6-stream input copy and the
+pooled output; the only XLA post-processing is one transpose of the
+pooled result back to channels-last (~1 ms at B=32).
 
 Numerics are identical in structure to the XLA bf16 path: bf16 operands,
 f32 matmul accumulation, f32 bias+relu, bf16 store (pooling commutes with
-the monotone bf16 rounding).  Golden-tested in tests/test_pallas_pair1t.py.
+the monotone bf16 rounding); the m/p streams recompute exactly the e/o
+products one column over, so parity with the two-stream math is exact.
+Golden-tested bit-comparable in tests/test_pallas_pair1t.py.
 """
 
 from __future__ import annotations
@@ -60,101 +74,94 @@ WINR = RT + 4   # window rows: t*RT-2 .. t*RT+RT+1
 K9 = 9 * Y1R    # im2col contraction size
 K9P = ((K9 + 7) // 8) * 8
 C = 64          # channel count of the pair
+NS = 4          # conv1a output streams: m, e, o, p
 
 
-def _pair1t_kernel(pe_ref, ce_ref, ne_ref, po_ref, co_ref, no_ref,
-                   pm_ref, cm_ref, nm_ref, pp_ref, cp_ref, np_ref,
+def _pair1t_kernel(prev_ref, cur_ref, nxt_ref,
                    wblk_ref, b1a_ref, rhs_ref, b2_ref, out_ref,
-                   wine_ref, wino_ref, winm_ref, winp_ref,
-                   x9e_ref, x9o_ref,
-                   y1e_ref, y1o_ref, y1m_ref, y1p_ref,
-                   *, H: int, W2: int, nt: int, stage: str = "all"):
+                   win_ref, x9_ref, y1_ref,
+                   *, H: int, W2: int, W2P: int, nt: int,
+                   stage: str = "all"):
     t = pl.program_id(1)
-    W2P = wine_ref.shape[1]
+    N4 = NS * W2P
 
     if stage != "convb":
-        # --- window assembly: rows t*RT-2 .. t*RT+RT+1 per stream --------
+        # --- window assembly: rows t*RT-2 .. t*RT+RT+1, all 6 streams ----
         # (clamped prev/next index maps supply real-but-wrong rows at the
         # image boundary; every tap they feed is zeroed below)
-        for win_ref, (p, c, n) in ((wine_ref, (pe_ref, ce_ref, ne_ref)),
-                                   (wino_ref, (po_ref, co_ref, no_ref)),
-                                   (winm_ref, (pm_ref, cm_ref, nm_ref)),
-                                   (winp_ref, (pp_ref, cp_ref, np_ref))):
-            win_ref[0:2] = p[0, RT - 2:RT]
-            win_ref[2:2 + RT] = c[0]
-            win_ref[2 + RT:4 + RT] = n[0, 0:2]
+        win_ref[0:2] = prev_ref[0, RT - 2:RT]
+        win_ref[2:2 + RT] = cur_ref[0]
+        win_ref[2 + RT:4 + RT] = nxt_ref[0, 0:2]
 
-        # --- im2col, tap-major: x9t[Y1R*k + j] = win_dx[dy + 1 + j] ------
-        # Full-res col taps per parity: even (col 2c2) reads dx=-1/0/+1
-        # from om1/e/o; odd (col 2c2+1) from e/o/ep1.
-        for x9_ref, srcs in ((x9e_ref, (winm_ref, wine_ref, wino_ref)),
-                             (x9o_ref, (wine_ref, wino_ref, winp_ref))):
-            x9_ref[K9P - 8:K9P] = jnp.zeros((8, W2P), jnp.bfloat16)
-            for k in range(9):
-                dy, dx = k // 3 - 1, k % 3 - 1
-                x9_ref[Y1R * k:Y1R * (k + 1)] = (
-                    srcs[dx + 1][dy + 1:dy + 1 + Y1R])
-            # taps that read image rows < 0 or >= H are conv zero padding
-            # (only where the destination y1 row is itself valid; invalid
-            # y1 rows are zeroed wholesale after conv1a)
-            @pl.when(t == 0)
-            def _zero_top(x9_ref=x9_ref):
-                for k in (0, 1, 2):            # dy = -1, j = 1
-                    x9_ref[Y1R * k + 1:Y1R * k + 2] = (
-                        jnp.zeros((1, W2P), jnp.bfloat16))
-
-            @pl.when(t == nt - 1)
-            def _zero_bot(x9_ref=x9_ref):
-                for k in (6, 7, 8):            # dy = +1, j = RT
-                    x9_ref[Y1R * k + RT:Y1R * k + RT + 1] = (
-                        jnp.zeros((1, W2P), jnp.bfloat16))
-
-    # --- conv1a: block-diagonal (Y1R*C, K9P) x (K9P, W2P) matmul --------
-    for x9_ref, y1_ref in ((x9e_ref, y1e_ref), (x9o_ref, y1o_ref)):
-        if stage == "convb":
-            @pl.when(t == 0)
-            def _fill(y1_ref=y1_ref):
-                y1_ref[...] = jnp.zeros((Y1R * C, W2P), jnp.bfloat16)
-            continue
-        y1 = jax.lax.dot_general(
-            wblk_ref[...], x9_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (Y1R*C, W2P)
-        y1 = jnp.maximum(y1 + b1a_ref[...], 0.0)
-        y1_ref[...] = y1.astype(jnp.bfloat16)
-        # y1 rows outside the image are conv1b zero padding, NOT
-        # bias+relu of a zero input
+        # --- im2col, tap-major: one contiguous copy per tap -------------
+        # x9all[Y1R*k + j, W2P*s + c2] = stream s, tap k, y1 row j; tap
+        # (dy, dx) of stream s reads input stream s + dx + 1, so for
+        # fixed k all four source blocks are the contiguous lane range
+        # [(dx+1)*W2P, (dx+5)*W2P) of window rows dy+1 .. dy+1+Y1R.
+        x9_ref[K9P - 8:K9P] = jnp.zeros((8, N4), jnp.bfloat16)
+        for k in range(9):
+            dy, dx = k // 3 - 1, k % 3 - 1
+            x9_ref[Y1R * k:Y1R * (k + 1)] = (
+                win_ref[dy + 1:dy + 1 + Y1R,
+                        (dx + 1) * W2P:(dx + 1) * W2P + N4])
+        # taps that read image rows < 0 or >= H are conv zero padding
+        # (only where the destination y1 row is itself valid; invalid
+        # y1 rows are zeroed wholesale after conv1a)
         @pl.when(t == 0)
-        def _zero_first(y1_ref=y1_ref):
-            y1_ref[0:C] = jnp.zeros((C, W2P), jnp.bfloat16)
+        def _zero_top():
+            for k in (0, 1, 2):            # dy = -1, j = 1
+                x9_ref[Y1R * k + 1:Y1R * k + 2] = (
+                    jnp.zeros((1, N4), jnp.bfloat16))
 
         @pl.when(t == nt - 1)
-        def _zero_last(y1_ref=y1_ref):
-            y1_ref[C * (Y1R - 1):] = jnp.zeros((C, W2P), jnp.bfloat16)
+        def _zero_bot():
+            for k in (6, 7, 8):            # dy = +1, j = RT
+                x9_ref[Y1R * k + RT:Y1R * k + RT + 1] = (
+                    jnp.zeros((1, N4), jnp.bfloat16))
+
+    # --- conv1a: block-diagonal (Y1R*C, K9P) x (K9P, NS*W2P) matmul -----
+    if stage == "convb":
+        @pl.when(t == 0)
+        def _fill():
+            y1_ref[...] = jnp.zeros((Y1R * C, N4), jnp.bfloat16)
+    else:
+        y1 = jax.lax.dot_general(
+            wblk_ref[...], x9_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (Y1R*C, NS*W2P)
+        y1 = jnp.maximum(y1 + b1a_ref[...], 0.0)
+        # stream m's col 0 (full-res col -1) and stream p's col W2-1
+        # (full-res col W) are conv1b zero padding, not conv1a of zeros
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N4), 1)
+        y1 = jnp.where((lane == 0) | (lane == 3 * W2P + W2 - 1), 0.0, y1)
+        y1_ref[...] = y1.astype(jnp.bfloat16)
+        # y1 rows outside the image are conv1b zero padding as well
+        @pl.when(t == 0)
+        def _zero_first():
+            y1_ref[0:C] = jnp.zeros((C, N4), jnp.bfloat16)
+
+        @pl.when(t == nt - 1)
+        def _zero_last():
+            y1_ref[C * (Y1R - 1):] = jnp.zeros((C, N4), jnp.bfloat16)
 
     if stage == "conva":  # ablation: conv1a path only
-        out_ref[0] = y1e_ref[0:TP * C].reshape(TP, C, W2P)
+        out_ref[0] = y1_ref[0:TP * C, W2P:2 * W2P].reshape(TP, C, W2P)
         return
 
-    # --- +-1 column shifts between parity streams (lane rolls) ----------
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W2P), 1)
-    y1m_ref[...] = jnp.where(lane == 0, jnp.bfloat16(0),
-                             pltpu.roll(y1o_ref[...], 1, 1))     # odd[c2-1]
-    y1p_ref[...] = jnp.where(lane == W2 - 1, jnp.bfloat16(0),
-                             pltpu.roll(y1e_ref[...], W2P - 1, 1))  # even[c2+1]
-
-    # --- conv1b + pool: per row pair, three (128, 256) x (256, W2P) -----
-    def mm(dxi, src_ref, s):
+    # --- conv1b + pool: per row pair, six (128, 256) x (256, W2P) -------
+    def mm(dxi, blk):
         return jax.lax.dot_general(
-            rhs_ref[dxi], src_ref[s:s + 4 * C], (((1,), (0,)), ((), ())),
+            rhs_ref[dxi],
+            y1_ref[2 * rp * C:2 * rp * C + 4 * C,
+                   blk * W2P:(blk + 1) * W2P],
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # (2C, W2P)
 
     b2 = b2_ref[...]
     for rp in range(TP):
-        s = 2 * rp * C
-        # full-res col 2c2:   odd[c2-1], even[c2], odd[c2]
-        acc_a = mm(0, y1m_ref, s) + mm(1, y1e_ref, s) + mm(2, y1o_ref, s)
-        # full-res col 2c2+1: even[c2], odd[c2], even[c2+1]
-        acc_b = mm(0, y1e_ref, s) + mm(1, y1o_ref, s) + mm(2, y1p_ref, s)
+        # even output cols (full-res 2c2) read streams m, e, o; odd output
+        # cols (2c2+1) read e, o, p — stream block = dxi (+1)
+        acc_a = mm(0, 0) + mm(1, 1) + mm(2, 2)
+        acc_b = mm(0, 1) + mm(1, 2) + mm(2, 3)
         m = jnp.maximum(jnp.maximum(acc_a + b2, 0.0),
                         jnp.maximum(acc_b + b2, 0.0))    # column pool
         pooled = jnp.maximum(m[:C], m[C:])               # row pool
@@ -207,12 +214,17 @@ def fused_pair1t(images: jnp.ndarray, params,
     xe = x[:, :, 0::2]
     xo = x[:, :, 1::2]
     zcol = jnp.zeros((B, H, 1), jnp.bfloat16)
-    xom1 = jnp.concatenate([zcol, xo[:, :, :-1]], axis=2)  # odd[c2-1]
-    xep1 = jnp.concatenate([xe[:, :, 1:], zcol], axis=2)   # even[c2+1]
-    if W2P != W2:  # zero-pad lanes so every in-kernel store is full-width
-        pad = ((0, 0), (0, 0), (0, W2P - W2))
-        xe, xo = jnp.pad(xe, pad), jnp.pad(xo, pad)
-        xom1, xep1 = jnp.pad(xom1, pad), jnp.pad(xep1, pad)
+    zpad = jnp.zeros((B, H, W2P - W2), jnp.bfloat16)
+    # input stream b for tap dx of conv1a stream s is b = s + dx + 1:
+    # [even[c2-1], odd[c2-1], even, odd, even[c2+1], odd[c2+1]]
+    xcomb = jnp.concatenate([
+        zcol, xe[:, :, :-1], zpad,
+        zcol, xo[:, :, :-1], zpad,
+        xe, zpad,
+        xo, zpad,
+        xe[:, :, 1:], zcol, zpad,
+        xo[:, :, 1:], zcol, zpad,
+    ], axis=2)
 
     def idx_prev(b, t):
         return (b, jnp.maximum(t - 1, 0), 0)
@@ -229,12 +241,13 @@ def fused_pair1t(images: jnp.ndarray, params,
     def idx_full3(b, t):
         return (0, 0, 0)
 
-    row_spec = [pl.BlockSpec((1, RT, W2P), im)
-                for im in (idx_prev, idx_cur, idx_nxt)]
     outT = pl.pallas_call(
-        partial(_pair1t_kernel, H=H, W2=W2, nt=nt, stage=stage),
+        partial(_pair1t_kernel, H=H, W2=W2, W2P=W2P, nt=nt, stage=stage),
         grid=(B, nt),
-        in_specs=row_spec * 4 + [
+        in_specs=[
+            pl.BlockSpec((1, RT, 6 * W2P), im)
+            for im in (idx_prev, idx_cur, idx_nxt)
+        ] + [
             pl.BlockSpec((Y1R * C, K9P), idx_full),
             pl.BlockSpec((Y1R * C, 1), idx_full),
             pl.BlockSpec((3, 2 * C, 4 * C), idx_full3),
@@ -243,20 +256,12 @@ def fused_pair1t(images: jnp.ndarray, params,
         out_specs=pl.BlockSpec((1, TP, C, W2P), lambda b, t: (b, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H // 2, C, W2P), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((WINR + 4, W2P), jnp.bfloat16),     # window even
-            pltpu.VMEM((WINR + 4, W2P), jnp.bfloat16),     # window odd
-            pltpu.VMEM((WINR + 4, W2P), jnp.bfloat16),     # window odd[c2-1]
-            pltpu.VMEM((WINR + 4, W2P), jnp.bfloat16),     # window even[c2+1]
-            pltpu.VMEM((K9P, W2P), jnp.bfloat16),          # im2col even
-            pltpu.VMEM((K9P, W2P), jnp.bfloat16),          # im2col odd
-            pltpu.VMEM((Y1R * C, W2P), jnp.bfloat16),      # y1T even
-            pltpu.VMEM((Y1R * C, W2P), jnp.bfloat16),      # y1T odd
-            pltpu.VMEM((Y1R * C, W2P), jnp.bfloat16),      # y1T odd[c2-1]
-            pltpu.VMEM((Y1R * C, W2P), jnp.bfloat16),      # y1T even[c2+1]
+            pltpu.VMEM((WINR + 4, 6 * W2P), jnp.bfloat16),  # 6-stream window
+            pltpu.VMEM((K9P, NS * W2P), jnp.bfloat16),      # im2col, 4 streams
+            pltpu.VMEM((Y1R * C, NS * W2P), jnp.bfloat16),  # y1T, 4 streams
         ],
         interpret=interpret,
-    )(xe, xe, xe, xo, xo, xo, xom1, xom1, xom1, xep1, xep1, xep1,
-      wblk, b1a, rhs, b2)
+    )(xcomb, xcomb, xcomb, wblk, b1a, rhs, b2)
     # single XLA transpose back to channels-last (~1 ms on the 185 MB
     # result at B=32); pad lanes sliced away
     return jnp.transpose(outT[:, :, :, :W2], (0, 1, 3, 2))

@@ -55,10 +55,13 @@ def main(argv=None) -> int:
         args.output = cfg.output_path
 
     params = None
-    if args.weights:
+    weights = args.weights or cfg.model_path  # CLI overrides the YAML's
+    #                                           model_path (sp_params.cpp
+    #                                           reads it from config)
+    if weights:
         from sp_orb_slam_tpu.models.weights import load_checkpoint
 
-        params = load_checkpoint(args.weights)
+        params = load_checkpoint(weights)
     elif cfg.dataset != "synthetic":
         import jax
 
