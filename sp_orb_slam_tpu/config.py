@@ -93,6 +93,10 @@ class LocalMapTrackConfig:
     th_window_size: int = 1
     th_window_retry: float = 5.0  # widened window for the starvation retry
     #                               (reference precedent: th=5 after reloc)
+    th_window_reloc: float = 10.0  # windowed frame<->KF growth pass inside
+    #                                relocalization (SearchByProjection
+    #                                overload, sp_matcher.cpp:1545-1634;
+    #                                stock ORB-SLAM2 passes th=10)
     th_ninlier_high: int = 50
     th_ninlier_low: int = 6
     th_nn_ratio: float = 1.0  # parity-dead (see MotionConfig.th_nn_ratio)

@@ -196,9 +196,10 @@ def motion_track_body(Tcw_pred, mp_pos, mp_desc_track, mp_valid, kp_desc,
 
 
 def reloc_track_body(T0s, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
-                     kp_cov2_inv, kp_valid, K_intr):
+                     kp_cov2_inv, kp_valid, K_intr, bounds, *,
+                     radius2: float = 10.0):
     """Relocalization attempt against one candidate KF: brute-force mutual
-    NN (pose-free) + MULTI-START pose optimization.
+    NN (pose-free) + MULTI-START pose optimization + windowed growth.
 
     The reference's Relocalization (tracker.cpp:986-1138, stubbed) used
     PnP RANSAC to seed the pose fit because the 4x10 PoseOptimization
@@ -207,6 +208,13 @@ def reloc_track_body(T0s, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
     replacement for sequential RANSAC is a *batched* LM: vmap the same
     optimizer over S perturbed starts (yaw fan around two base poses) and
     keep the start with the most inliers — one XLA program, MXU-friendly.
+
+    The growth pass is the retained frame<->KF windowed SearchByProjection
+    (sp_matcher.cpp:1545-1634, stock ORB-SLAM2's second-chance reloc): with
+    the fitted pose, project the candidate's not-yet-found points, search a
+    th=10 window among still-free keypoints, union the matches, and
+    re-optimize once from the fitted pose; the result is kept when it does
+    not lose inliers (it starts from the same pose with a match superset).
     """
     kp2mp = matching.search_by_brute_force(mp_desc, mp_valid, kp_desc,
                                            kp_valid)
@@ -215,9 +223,40 @@ def reloc_track_body(T0s, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
     res = jax.vmap(lambda T: pose_opt.pose_optimization(
         T, Xw, kp_uv, kp_cov2_inv, kp_has, K_intr))(T0s)
     best = jnp.argmax(res.n_inlier)
-    return dict(Tcw=res.Tcw[best], kp2mp=kp2mp, inlier=res.inlier[best],
-                n_match=jnp.sum(kp_has.astype(jnp.int32)),
-                n_inlier=res.n_inlier[best])
+    Tfit = res.Tcw[best]
+
+    # --- windowed second chance with the fitted pose --------------------
+    R, t = Tfit[:3, :3], Tfit[:3, 3]
+    pc = mp_pos @ R.T + t
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    proj = jnp.stack([K_intr[0] * pc[:, 0] / zs + K_intr[2],
+                      K_intr[1] * pc[:, 1] / zs + K_intr[3]], axis=-1)
+    depth_ok = 1.0 / zs > 0
+    M = mp_pos.shape[0]
+    # sAlreadyFound: points already bound by the brute-force stage
+    # (dense any-compare; scatter serializes on TPU)
+    mp_found = jnp.any((jnp.arange(M)[:, None] == kp2mp[None, :])
+                       & kp_has[None, :], axis=1)
+    grown = matching.search_by_projection_frame(
+        mp_desc, proj, depth_ok, mp_valid & ~mp_found, kp_desc, kp_uv,
+        kp_valid, ~kp_has, radius=radius2, bounds=bounds)
+    _, kp2mp2 = matching.resolve_mutual(
+        jnp.clip(grown, 0, None), jnp.zeros(grown.shape, jnp.float32),
+        grown >= 0, kp_desc.shape[0])
+    kp2mp_u = jnp.where(kp_has, kp2mp, kp2mp2)
+    kp_has_u = kp2mp_u >= 0
+    Xw_u = mp_pos[jnp.clip(kp2mp_u, 0, None)]
+    res2 = pose_opt.pose_optimization(Tfit, Xw_u, kp_uv, kp_cov2_inv,
+                                      kp_has_u, K_intr)
+    keep2 = res2.n_inlier >= res.n_inlier[best]
+    return dict(
+        Tcw=jnp.where(keep2, res2.Tcw, Tfit),
+        kp2mp=jnp.where(keep2, kp2mp_u, kp2mp),
+        inlier=jnp.where(keep2, res2.inlier, res.inlier[best]),
+        n_match=jnp.sum(jnp.where(keep2, kp_has_u, kp_has)
+                        .astype(jnp.int32)),
+        n_inlier=jnp.maximum(res2.n_inlier, res.n_inlier[best]))
 
 
 def ref_track_body(Tcw0, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
@@ -463,8 +502,10 @@ class TrackingKernels:
         @jit_f32
         def reloc_fn(T0s, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
                      kp_cov2_inv, kp_valid):
-            out = reloc_track_body(T0s, mp_pos, mp_desc, mp_valid, kp_desc,
-                                   kp_uv, kp_cov2_inv, kp_valid, self.K_intr)
+            out = reloc_track_body(
+                T0s, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
+                kp_cov2_inv, kp_valid, self.K_intr, self.bounds,
+                radius2=float(cfg.tracking.map.th_window_reloc))
             return self.track_layout.pack(**out)
 
         m = cfg.tracking.map
