@@ -226,6 +226,50 @@ def main():
             results[f"encoder{d}_ms"] = round(ms, 2)
             print(f"encoder{d}:", results[f"encoder{d}_ms"], "ms/batch",
                   flush=True)
+    if "heads-conv-only" in want:
+        # the four head convs alone on a random encoder output
+        from sp_orb_slam_tpu.models.superpoint import _conv
+
+        @jax.jit
+        def heads(x):
+            semi = _conv(_conv(x, params["convPa"]), params["convPb"],
+                         relu=False).astype(jnp.float32)
+            coarse = _conv(_conv(x, params["convDa"]), params["convDb"],
+                           relu=False).astype(jnp.float32)
+            return semi, coarse
+        rng2 = np.random.default_rng(2)
+        xh = jnp.asarray(rng2.random((B, H // 8, W // 8, 128), np.float32)
+                         ).astype(jnp.bfloat16)
+        ms = timeit(heads, xh)
+        results["heads_conv_only_ms"] = round(ms, 2)
+        print("heads-conv-only:", results["heads_conv_only_ms"], "ms/batch",
+              flush=True)
+    if "heads-tail-only" in want:
+        # softmax/score/candidate/heat block on random head outputs
+        @jax.jit
+        def tail(semi, coarse):
+            hc, wc = H // 8, W // 8
+            coarse = coarse / jnp.linalg.norm(coarse, axis=-1, keepdims=True)
+            dense = jax.nn.softmax(semi, axis=-1)
+            nodust = dense[..., :64]
+            score = jnp.max(nodust, axis=-1)
+            idx = jnp.argmax(nodust, axis=-1).astype(jnp.int32)
+            heat_log = jnp.log(jnp.clip(nodust, 1e-3, None))
+            mn = jnp.min(-heat_log, axis=(1, 2, 3)).reshape(B, 1, 1)
+            mx = jnp.max(-heat_log, axis=(1, 2, 3)).reshape(B, 1, 1)
+            hf = heat_log.reshape(B, hc, wc, 8, 8)
+            hf = jnp.transpose(hf, (0, 1, 3, 2, 4)).reshape(B, H, W)
+            heat_inv = (mx + hf) / (mx - mn)
+            return coarse, dense[..., 64], score, idx, heat_inv
+        rng2 = np.random.default_rng(3)
+        semi = jnp.asarray(
+            rng2.random((B, H // 8, W // 8, 65), np.float32))
+        coarse = jnp.asarray(
+            rng2.random((B, H // 8, W // 8, 256), np.float32))
+        ms = timeit(tail, semi, coarse)
+        results["heads_tail_only_ms"] = round(ms, 2)
+        print("heads-tail-only:", results["heads_tail_only_ms"], "ms/batch",
+              flush=True)
     if "no-cov" in want:
         # windowed+iters=0 ablation removes the pallas custom call entirely
         ms = timeit(make_step("dense", cov="none"), images, prev_desc,

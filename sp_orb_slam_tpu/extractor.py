@@ -51,9 +51,9 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
     """images: (B, H, W) float32 in [0, 1].
 
     `with_heat=False` (default) skips the full-res `heat` output — only the
-    heat-alignment coarse-tracker variant reads it, and each (B, H, W) f32
-    output costs ~1.5 GB of HBM writes per 32-image batch.  `heat_inv`
-    (covariance input) is always produced.
+    heat-alignment coarse-tracker variant reads it (a (B, H, W) f32 output
+    is ~46 MB per 32-image batch; measured perf-neutral, kept off for the
+    memory).  `heat_inv` (covariance input) is always produced.
     """
     B, H, W = images.shape
     if conv_packing == "auto":

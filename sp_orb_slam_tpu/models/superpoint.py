@@ -264,8 +264,8 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
     # The min/max reduce runs on the cell layout BEFORE the pixel-shuffle
     # transpose (same values, cheaper access pattern), and `heat` — used
     # only by the heat-alignment tracker variant — is materialized only on
-    # request: every full-res (B, H, W) f32 output costs ~1.5 GB of HBM
-    # writes per 32-image batch.
+    # request (a full-res (B, H, W) f32 output is ~46 MB per 32-image
+    # batch; measured perf-neutral, skipped for the memory).
     heat_log = jnp.log(jnp.clip(nodust, 1e-3, None))
     mn = jnp.min(-heat_log, axis=(1, 2, 3)).reshape(B, 1, 1)
     mx = jnp.max(-heat_log, axis=(1, 2, 3)).reshape(B, 1, 1)
