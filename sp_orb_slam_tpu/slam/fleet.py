@@ -1,0 +1,167 @@
+"""Multi-stream serving driver: N SLAM systems, ONE batched frontend.
+
+The reference is one camera, one System, one GPU (src/system.cpp) — its
+only batching axis is time.  On TPU the economics invert: the extractor
+reaches its throughput knee at a 32-stream batch (NOTES.md round-2 sweep),
+so a deployment serving N cameras should run N independent tracking
+pipelines against a single batched extraction program, not N copies of a
+B=1 program.  StreamFleet is that driver:
+
+- one `extract` call per tick covers every live stream (B = n_streams,
+  the bench.py operating point);
+- ONE packed device->host readback per tick fetches all N feature sets
+  (over the axon tunnel a readback costs ~25 ms flat — per-stream fetches
+  would pay it N times);
+- per-stream System instances share a single TrackingKernels, so the
+  per-frame tracking programs compile once, not N times;
+- an optional `jax.sharding.Mesh` shards the image batch (and everything
+  downstream of it inside the extraction program) across chips on the
+  "stream" data-parallel axis — the parallel/mesh.py scale-out applied to
+  the real serving loop.
+
+Host-side tracking state machines run sequentially per tick; they are
+O(ms) host work against the device-bound extraction, and each stream's
+mapper can still run on its own thread in online mode (cfg.online).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from sp_orb_slam_tpu.config import Config
+from sp_orb_slam_tpu.io.dataset import RawFrame
+from sp_orb_slam_tpu.slam.frame import FrameData, frame_from_features
+from sp_orb_slam_tpu.slam.kernels import TrackingKernels
+from sp_orb_slam_tpu.slam.system import System, build_preprocess
+
+
+class StreamFleet:
+    """N concurrent monocular streams through one batched frontend."""
+
+    def __init__(self, cfg: Config, n_streams: int, params,
+                 mesh=None, axis: str = "stream"):
+        import jax
+
+        from sp_orb_slam_tpu.extractor import make_extractor
+
+        self.cfg = cfg
+        self.n = n_streams
+        self.kernels = TrackingKernels(cfg)
+        self.systems = [System(cfg, kernels=self.kernels)
+                        for _ in range(n_streams)]
+        self._extract = make_extractor(cfg, params)
+        self._preprocess = build_preprocess(cfg)
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._sharding = NamedSharding(mesh, P(axis))
+
+        kern = self.kernels
+
+        @jax.jit
+        def fetch_batch(uv, score, response, valid, cov2_inv, occ_grid,
+                        count):
+            return jax.vmap(lambda *a: kern.feat_layout.pack(
+                uv=a[0], score=a[1], response=a[2], valid=a[3],
+                cov2_inv=a[4], occ_grid=a[5], count=a[6]))(
+                    uv, score, response, valid, cov2_inv, occ_grid, count)
+
+        self._fetch_batch = fetch_batch
+
+    # ------------------------------------------------------------------ tick
+
+    def tick(self, raws: Sequence[Optional[RawFrame]]
+             ) -> List[Optional[np.ndarray]]:
+        """Advance every live stream by one frame.
+
+        `raws[i] is None` marks stream i idle this tick (ended, or no new
+        camera frame yet).  Returns the per-stream tracked pose (Twc^-1 =
+        Tcw, as System.run) or None for idle / uninitialized / LOST
+        streams.  Image frames across streams are extracted in ONE batched
+        device program; injected-feature frames (the synthetic rail) skip
+        extraction and are fed directly.
+        """
+        import jax.numpy as jnp
+
+        if len(raws) != self.n:
+            raise ValueError(f"expected {self.n} streams, got {len(raws)}")
+        out: List[Optional[np.ndarray]] = [None] * self.n
+        img_streams = [i for i, r in enumerate(raws)
+                       if r is not None and r.injected is None]
+        inj_streams = [i for i, r in enumerate(raws)
+                       if r is not None and r.injected is not None]
+
+        if img_streams:
+            Hc, Wc = self.cfg.camera.height, self.cfg.camera.width
+            imgs = np.stack([
+                raws[i].image.astype(np.float32)[:Hc, :Wc] / 255.0
+                for i in img_streams])
+            dev = jnp.asarray(imgs)
+            if self._sharding is not None and len(img_streams) == self.n:
+                import jax
+
+                dev = jax.device_put(dev, self._sharding)
+            if self._preprocess is not None:
+                import jax
+
+                dev = jax.vmap(self._preprocess)(dev)
+            feats = self._extract(dev)
+            packed = np.asarray(self._fetch_batch(
+                feats.uv, feats.score, feats.response, feats.valid,
+                feats.cov2_inv, feats.occ_grid, feats.count))
+            for b, i in enumerate(img_streams):
+                host = self.kernels.feat_layout.unpack(packed[b])
+                host["uv"] = host["uv"].astype(np.float32)
+                host["score"] = host["score"].astype(np.float32)
+                host["response"] = host["response"].astype(np.float32)
+                host["cov2_inv"] = host["cov2_inv"].astype(np.float32)
+                host["occ_grid"] = host["occ_grid"].astype(np.int32)
+                sysi = self.systems[i]
+                frame = frame_from_features(feats, b, sysi.frame_id,
+                                            raws[i].timestamp, host)
+                frame.global_desc = raws[i].global_desc
+                out[i] = sysi.run_frame(frame)
+
+        for i in inj_streams:
+            sysi = self.systems[i]
+            out[i] = sysi.run(raws[i])
+        return out
+
+    # ------------------------------------------------------------- lifecycle
+
+    def spin(self, datasets: Sequence, max_frames: Optional[int] = None
+             ) -> None:
+        """Drive N datasets to exhaustion (streams may end at different
+        lengths; finished streams go idle)."""
+        iters = [iter(d) for d in datasets]
+        done = [False] * self.n
+        n_ticks = 0
+        while not all(done):
+            raws: List[Optional[RawFrame]] = []
+            for i, it in enumerate(iters):
+                if done[i]:
+                    raws.append(None)
+                    continue
+                try:
+                    raws.append(next(it))
+                except StopIteration:
+                    done[i] = True
+                    raws.append(None)
+            if all(r is None for r in raws):
+                break
+            self.tick(raws)
+            n_ticks += 1
+            if max_frames is not None and n_ticks >= max_frames:
+                break
+        self.shutdown()
+
+    def shutdown(self) -> None:
+        for s in self.systems:
+            if s.cfg.online:
+                s.shutdown()
+
+    def report(self) -> List[dict]:
+        return [s.report() for s in self.systems]

@@ -44,11 +44,46 @@ def _rotmat_to_quat(R: np.ndarray) -> np.ndarray:
     return q
 
 
+def build_preprocess(cfg: Config):
+    """On-device rectification when the raw stream is distorted (the
+    reference pre-rectifies EuRoC with initUndistortRectifyMap + remap,
+    data_loader.cc:470-489,517-527).  Returns None for undistorted
+    streams.  The closure is vmappable: fleet.StreamFleet maps it over a
+    stream batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from sp_orb_slam_tpu.geometry import camera as cam_ops
+    from sp_orb_slam_tpu.io.dataset import EurocDataset
+
+    cam = cfg.camera
+    dist = np.array([cam.k1, cam.k2, cam.p1, cam.p2, cam.k3], np.float32)
+    if not np.any(dist):
+        return None
+    K_new = jnp.array([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
+    if cfg.dataset.startswith("euroc"):
+        K_raw = jnp.asarray(EurocDataset.RAW_K)
+    else:
+        K_raw = K_new
+    grid = cam_ops.rectify_map(K_new, K_raw, jnp.asarray(dist),
+                               cam.height, cam.width)
+
+    @jax.jit
+    def run(img):
+        return cam_ops.bilinear_remap(img, grid)
+
+    return run
+
+
 class System:
-    def __init__(self, cfg: Config, params=None):
+    def __init__(self, cfg: Config, params=None, kernels=None):
+        """`kernels` optionally injects a shared TrackingKernels instance:
+        the kernels are pure config-bound functions with no per-run state,
+        so N systems (slam/fleet.py) can reuse one set of compiled
+        programs instead of paying N identical compiles."""
         self.cfg = cfg
         self.map = Map()
-        self.kernels = TrackingKernels(cfg)
+        self.kernels = kernels if kernels is not None else TrackingKernels(cfg)
         self.mapper = LocalMapping(cfg, self.map, self.kernels)
         self.tracker = Tracking(cfg, self.map, self.kernels, self.mapper)
         self.looper = None
@@ -79,32 +114,7 @@ class System:
         self.timer = Timer()
 
     def _build_preprocess(self):
-        """On-device rectification when the raw stream is distorted (the
-        reference pre-rectifies EuRoC with initUndistortRectifyMap + remap,
-        data_loader.cc:470-489,517-527)."""
-        import jax
-        import jax.numpy as jnp
-
-        from sp_orb_slam_tpu.geometry import camera as cam_ops
-        from sp_orb_slam_tpu.io.dataset import EurocDataset
-
-        cam = self.cfg.camera
-        dist = np.array([cam.k1, cam.k2, cam.p1, cam.p2, cam.k3], np.float32)
-        if not np.any(dist):
-            return None
-        K_new = jnp.array([cam.fx, cam.fy, cam.cx, cam.cy], jnp.float32)
-        if self.cfg.dataset.startswith("euroc"):
-            K_raw = jnp.asarray(EurocDataset.RAW_K)
-        else:
-            K_raw = K_new
-        grid = cam_ops.rectify_map(K_new, K_raw, jnp.asarray(dist),
-                                   cam.height, cam.width)
-
-        @jax.jit
-        def run(img):
-            return cam_ops.bilinear_remap(img, grid)
-
-        return run
+        return build_preprocess(self.cfg)
 
     def _make_global_desc_fn(self):
         """In-process NetVLAD place-recognition hook (models/netvlad.py):
@@ -176,9 +186,18 @@ class System:
                 frame = self._frame_from_injected(raw)
             else:
                 frame = self._frame_from_image(raw)
+        self.process_frame(frame, raw)
+
+    def process_frame(self, frame: FrameData, raw: Optional[RawFrame] = None
+                      ) -> None:
+        """Track one pre-built frame (features already extracted).  The
+        batched entry point: slam/fleet.py extracts N streams' features in
+        one device program and feeds each system here."""
+        if self.cfg.online:
+            self.start_threads()
         with self.timer.span("tracking/total"):
             self.tracker.track_frame(frame)
-        if self.debug_dir is not None:
+        if self.debug_dir is not None and raw is not None:
             self._write_debug(raw, frame)
         if self.tracker.request_reset:
             self.reset()
@@ -262,10 +281,19 @@ class System:
         signals an invalid pose: uninitialized, or LOST (after a LOST frame
         ``last_frame.Tcw`` holds the failed stage's predicted/fan pose, which
         must not be handed to callers as if it were tracked)."""
-        from sp_orb_slam_tpu.slam.tracking import LOST
-
         self._apply_pending_toggles()
         self.process(raw)
+        return self._last_valid_pose()
+
+    def run_frame(self, frame: FrameData) -> Optional[np.ndarray]:
+        """`run` for a pre-built frame (the fleet path)."""
+        self._apply_pending_toggles()
+        self.process_frame(frame)
+        return self._last_valid_pose()
+
+    def _last_valid_pose(self) -> Optional[np.ndarray]:
+        from sp_orb_slam_tpu.slam.tracking import LOST
+
         lf = self.tracker.last_frame
         if lf is None or self.tracker.state == LOST:
             return None

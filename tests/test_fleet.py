@@ -1,0 +1,141 @@
+"""StreamFleet: N full SLAM pipelines against one batched frontend.
+
+Covers the serving driver (slam/fleet.py): batched extraction equals the
+single-stream program, N rendered streams each initialize and map
+independently, streams may end at different lengths, and the image batch
+shards over a stream mesh (the parallel/mesh.py axis applied to the real
+serving loop).
+"""
+
+import numpy as np
+import pytest
+
+from test_image_e2e import DIST, H, K, W, _distorted_rays, _render
+from sp_orb_slam_tpu.config import Config, _merge_dataclass
+
+
+def _fleet_cfg():
+    return _merge_dataclass(Config(), {
+        "dataset": "synthetic_images",
+        "camera": {"width": W, "height": H, "fx": float(K[0]),
+                   "fy": float(K[1]), "cx": float(K[2]), "cy": float(K[3]),
+                   "fps": 20.0, "k1": float(DIST[0]), "k2": float(DIST[1])},
+        "tracking": {"num_features": 300},
+        "runtime": {"max_keypoints": 320, "dust_points_cap": 128,
+                    "local_points_cap": 1024, "ba_kfs_cap": 32,
+                    "ba_points_cap": 1024, "ba_obs_cap": 4096,
+                    "init_ransac_iters": 60},
+    })
+
+
+def _stream(rays, n, tx=1.2, sy=0.1, tz=0.25, phase=0.0):
+    from sp_orb_slam_tpu.io.dataset import RawFrame
+
+    frames = []
+    for i in range(n):
+        t = i / (n - 1)
+        Twc = np.eye(4, dtype=np.float64)
+        Twc[:3, 3] = [tx * t, sy * np.sin(4 * t + phase), tz * t]
+        frames.append(RawFrame(timestamp=i / 20.0, image=_render(Twc, rays)))
+    return frames
+
+
+def test_batched_extract_matches_single():
+    """The B=N fleet extraction program produces the same features as the
+    B=1 single-system program for the same image."""
+    import jax
+    import jax.numpy as jnp
+
+    from sp_orb_slam_tpu.extractor import make_extractor
+    from sp_orb_slam_tpu.models import superpoint
+
+    cfg = _fleet_cfg()
+    params = superpoint.init_params(jax.random.PRNGKey(3))
+    run = make_extractor(cfg, params)
+    rays = _distorted_rays()
+    img0 = _render(np.eye(4), rays).astype(np.float32) / 255.0
+    Twc1 = np.eye(4)
+    Twc1[:3, 3] = [0.3, 0.0, 0.1]
+    img1 = _render(Twc1, rays).astype(np.float32) / 255.0
+
+    single = run(jnp.asarray(img0[None]))
+    batch = run(jnp.asarray(np.stack([img0, img1])))
+    assert int(single.count[0]) == int(batch.count[0])
+    np.testing.assert_allclose(np.asarray(single.uv[0]),
+                               np.asarray(batch.uv[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(single.desc[0]),
+                               np.asarray(batch.desc[0]), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fleet_three_streams():
+    """Three rendered streams with different trajectories, one of which
+    ends early: every stream initializes, tracks cleanly, and builds its
+    own map; idle ticks are handled."""
+    import jax
+
+    from sp_orb_slam_tpu.models import superpoint
+    from sp_orb_slam_tpu.slam import tracking as tr
+    from sp_orb_slam_tpu.slam.fleet import StreamFleet
+
+    cfg = _fleet_cfg()
+    params = superpoint.init_params(jax.random.PRNGKey(3))
+    fleet = StreamFleet(cfg, 3, params)
+    assert fleet.systems[0].kernels is fleet.systems[2].kernels
+
+    rays = _distorted_rays()
+    n = 22
+    streams = [_stream(rays, n),
+               _stream(rays, n - 8, tx=-1.0, sy=0.12, phase=1.5),
+               _stream(rays, n, tx=0.8, sy=0.08, tz=-0.2, phase=3.0)]
+
+    poses = [[] for _ in range(3)]
+    for k in range(n):
+        raws = [s[k] if k < len(s) else None for s in streams]
+        out = fleet.tick(raws)
+        for i in range(3):
+            if out[i] is not None:
+                poses[i].append(out[i])
+    fleet.shutdown()
+
+    reps = fleet.report()
+    for i, rep in enumerate(reps):
+        assert fleet.systems[i].tracker.state == tr.OK, (i, rep)
+        assert rep["n_lost"] == 0, (i, rep)
+        assert rep["n_keyframes"] >= 2, (i, rep)
+        assert rep["n_points"] > 40, (i, rep)
+        assert len(poses[i]) >= 4, (i, len(poses[i]))
+    # maps are independent instances with independent content
+    assert fleet.systems[0].map is not fleet.systems[1].map
+    # stream 1 ended early: its last pose differs in direction from stream 0
+    t0 = np.linalg.inv(poses[0][-1])[:3, 3]
+    t1 = np.linalg.inv(poses[1][-1])[:3, 3]
+    assert np.dot(t0[:1], t1[:1]) <= 0, (t0, t1)  # opposite x motion
+
+
+@pytest.mark.slow
+def test_fleet_sharded_over_stream_mesh():
+    """The image batch placed on a 2-device stream mesh runs the same
+    serving tick (sharded extraction program) and tracks."""
+    import jax
+
+    from sp_orb_slam_tpu.models import superpoint
+    from sp_orb_slam_tpu.parallel.mesh import make_mesh
+    from sp_orb_slam_tpu.slam import tracking as tr
+    from sp_orb_slam_tpu.slam.fleet import StreamFleet
+
+    cfg = _fleet_cfg()
+    params = superpoint.init_params(jax.random.PRNGKey(3))
+    mesh = make_mesh(2, platform="cpu")
+    fleet = StreamFleet(cfg, 2, params, mesh=mesh)
+
+    rays = _distorted_rays()
+    n = 16
+    streams = [_stream(rays, n), _stream(rays, n, tx=0.9, phase=2.0)]
+    for k in range(n):
+        fleet.tick([streams[0][k], streams[1][k]])
+    fleet.shutdown()
+    for i, rep in enumerate(fleet.report()):
+        assert fleet.systems[i].tracker.state == tr.OK, (i, rep)
+        assert rep["n_lost"] == 0, (i, rep)
+        assert rep["n_keyframes"] >= 2, (i, rep)
