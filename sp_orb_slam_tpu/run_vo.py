@@ -39,6 +39,10 @@ def main(argv=None) -> int:
     ap.add_argument("--debug-dir", default=None,
                     help="write per-frame overlay PNGs + map snapshots "
                          "(the offline viewer equivalent)")
+    ap.add_argument("--live-port", type=int, default=None,
+                    help="serve the live viewer (frame overlay, map, "
+                         "pause/step/reset/localization controls) on this "
+                         "HTTP port; 0 picks a free port")
     args = ap.parse_args(argv)
 
     from sp_orb_slam_tpu.config import load_config
@@ -83,7 +87,15 @@ def main(argv=None) -> int:
     system = System(cfg, params=params)
     if args.debug_dir:
         system.set_debug_dir(args.debug_dir)
+    viewer = None
+    if args.live_port is not None:
+        from sp_orb_slam_tpu.viz.live import LiveViewer
+
+        viewer = LiveViewer(system, port=args.live_port)
+        print(f"live viewer: {viewer.url}", file=sys.stderr)
     system.spin(dataset, max_frames=args.max_frames)
+    if viewer is not None:
+        viewer.close()
 
     os.makedirs(args.output, exist_ok=True)
     system.save_trajectory_tum(os.path.join(args.output, "traj.txt"))

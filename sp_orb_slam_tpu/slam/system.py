@@ -104,6 +104,7 @@ class System:
         self._local_off = False          # pending DeactivateLocalizationMode
         self._system_reset = False       # pending resetSystem
         self.debug_dir: Optional[str] = None
+        self.viewer = None               # live HTTP viewer (viz/live.py)
         self._extract = None
         self._preprocess = None
         if params is not None:
@@ -199,6 +200,13 @@ class System:
             self.tracker.track_frame(frame)
         if self.debug_dir is not None and raw is not None:
             self._write_debug(raw, frame)
+        if self.viewer is not None:
+            from sp_orb_slam_tpu.slam import tracking as tr
+
+            state = {tr.OK: "OK", tr.LOST: "LOST"}.get(
+                self.tracker.state, "INIT")
+            self.viewer.publish(raw, frame, state,
+                                dust_pids=self.tracker.last_dust_pids)
         if self.tracker.request_reset:
             self.reset()
             return

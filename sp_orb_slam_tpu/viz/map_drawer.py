@@ -12,8 +12,10 @@ from __future__ import annotations
 import numpy as np
 
 
-def draw_map(world, path: str, current_kf: int = -1,
-             trajectory: np.ndarray = None) -> None:
+def draw_map(world, path, current_kf: int = -1,
+             trajectory: np.ndarray = None, fmt: str = None) -> None:
+    """`path` is a filename or a file-like object (pass `fmt="png"` for
+    the latter — the live viewer renders into a BytesIO)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -55,5 +57,5 @@ def draw_map(world, path: str, current_kf: int = -1,
     if handles:
         axes[0].legend(loc="upper right", fontsize=8)
     fig.tight_layout()
-    fig.savefig(path, dpi=110)
+    fig.savefig(path, dpi=110, format=fmt)
     plt.close(fig)
