@@ -196,6 +196,16 @@ def main():
         results["pair1t_fused_only_ms"] = round(ms, 2)
         print("pair1t-fused-only:", results["pair1t_fused_only_ms"],
               "ms/batch", flush=True)
+    for tp in (8, 12):
+        if f"pair1t-tp{tp}" in want:
+            from sp_orb_slam_tpu.ops import pallas_pair1t
+
+            fn = jax.jit(lambda im, tp=tp: pallas_pair1t.fused_pair1t(
+                im, params, tp=tp))
+            ms = timeit(fn, images)
+            results[f"pair1t_tp{tp}_ms"] = round(ms, 2)
+            print(f"pair1t-tp{tp}:", results[f"pair1t_tp{tp}_ms"],
+                  "ms/batch", flush=True)
     for st in ("conva", "convb"):
         if f"pair1t-{st}" in want:
             from sp_orb_slam_tpu.ops import pallas_pair1t as pp1t

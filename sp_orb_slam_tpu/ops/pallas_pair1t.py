@@ -67,21 +67,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TP = 4          # pooled rows per tile
-RT = 2 * TP     # full-res rows per tile
-Y1R = RT + 2    # y1 rows needed (halo 1)
-WINR = RT + 4   # window rows: t*RT-2 .. t*RT+RT+1
-K9 = 9 * Y1R    # im2col contraction size
-K9P = ((K9 + 7) // 8) * 8
+TP = 4          # default pooled rows per tile (8 sweeps larger matmuls
+#                 against more VMEM per step; exactness is tile-invariant)
 C = 64          # channel count of the pair
 NS = 4          # conv1a output streams: m, e, o, p
+
+
+def _tile_dims(tp: int):
+    """Derived tile constants: full-res rows per tile, y1 rows (halo 1),
+    window rows (t*RT-2 .. t*RT+RT+1), im2col contraction size + pad."""
+    rt = 2 * tp
+    y1r = rt + 2
+    winr = rt + 4
+    k9 = 9 * y1r
+    k9p = ((k9 + 7) // 8) * 8
+    return rt, y1r, winr, k9, k9p
 
 
 def _pair1t_kernel(prev_ref, cur_ref, nxt_ref,
                    wblk_ref, b1a_ref, rhs_ref, b2_ref, out_ref,
                    win_ref, x9_ref, y1_ref,
-                   *, H: int, W2: int, W2P: int, nt: int,
+                   *, H: int, W2: int, W2P: int, nt: int, tp: int = TP,
                    stage: str = "all"):
+    TP = tp                     # shadow the module default inside the body
+    RT, Y1R, WINR, K9, K9P = _tile_dims(tp)
     t = pl.program_id(1)
     N4 = NS * W2P
 
@@ -168,9 +177,10 @@ def _pair1t_kernel(prev_ref, cur_ref, nxt_ref,
         out_ref[0, rp] = pooled.astype(jnp.bfloat16)
 
 
-def _weights_t(params):
+def _weights_t(params, tp: int = TP):
     """Repack conv1a/conv1b weights for the transposed kernel (pure jnp;
     constant-folded into the surrounding jit program)."""
+    _, Y1R, _, K9, K9P = _tile_dims(tp)
     w1a = params["conv1a"]["w"].astype(jnp.bfloat16)     # (3, 3, 1, 64)
     w1a9 = w1a[:, :, 0, :].reshape(9, C)                 # k = (dy+1)*3+(dx+1)
     # Wblk[C*j + ch, Y1R*k + j'] = w1a9[k, ch] iff j == j'
@@ -196,20 +206,23 @@ def _weights_t(params):
     return wblk, b1a, rhs, b2.reshape(2 * C, 1)
 
 
-@partial(jax.jit, static_argnames=("interpret", "stage"))
+@partial(jax.jit, static_argnames=("interpret", "stage", "tp"))
 def fused_pair1t(images: jnp.ndarray, params,
-                 interpret: bool = False, stage: str = "all") -> jnp.ndarray:
+                 interpret: bool = False, stage: str = "all",
+                 tp: int = TP) -> jnp.ndarray:
     """images (B, H, W) in [0, 1] -> pooled (B, H/2, W/2, 64) bf16:
     maxpool2(relu(conv1b(relu(conv1a(x))))) on the bfloat16 path.
 
-    Requires H % 8 == 0 and W % 2 == 0 (EuRoC 480x752, Tsukuba 480x640).
+    Requires H % (2*tp) == 0 and W % 2 == 0 (EuRoC 480x752 at tp=4 or 8,
+    Tsukuba 480x640).
     """
+    RT, Y1R, WINR, K9, K9P = _tile_dims(tp)
     B, H, W = images.shape
     assert H % RT == 0 and W % 2 == 0, (H, W)
     W2 = W // 2
     W2P = ((W2 + 127) // 128) * 128
     nt = H // RT
-    wblk, b1a, rhs, b2 = _weights_t(params)
+    wblk, b1a, rhs, b2 = _weights_t(params, tp)
     x = images.astype(jnp.bfloat16)
     xe = x[:, :, 0::2]
     xo = x[:, :, 1::2]
@@ -242,7 +255,8 @@ def fused_pair1t(images: jnp.ndarray, params,
         return (0, 0, 0)
 
     outT = pl.pallas_call(
-        partial(_pair1t_kernel, H=H, W2=W2, W2P=W2P, nt=nt, stage=stage),
+        partial(_pair1t_kernel, H=H, W2=W2, W2P=W2P, nt=nt, tp=tp,
+                stage=stage),
         grid=(B, nt),
         in_specs=[
             pl.BlockSpec((1, RT, 6 * W2P), im)
@@ -253,7 +267,7 @@ def fused_pair1t(images: jnp.ndarray, params,
             pl.BlockSpec((3, 2 * C, 4 * C), idx_full3),
             pl.BlockSpec((2 * C, 1), idx_full),
         ],
-        out_specs=pl.BlockSpec((1, TP, C, W2P), lambda b, t: (b, t, 0, 0)),
+        out_specs=pl.BlockSpec((1, tp, C, W2P), lambda b, t: (b, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H // 2, C, W2P), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((WINR + 4, 6 * W2P), jnp.bfloat16),  # 6-stream window

@@ -23,16 +23,19 @@ def _stock_pair_bf16(params, images):
     return _maxpool2(x)
 
 
+@pytest.mark.parametrize("tp", [4, 8])
 @pytest.mark.parametrize("shape", [(2, 64, 96), (1, 480, 752), (1, 48, 640)])
-def test_fused_pair1t_matches_stock_bf16(shape):
+def test_fused_pair1t_matches_stock_bf16(shape, tp):
     B, H, W = shape
+    if H % (2 * tp):
+        pytest.skip("H not divisible by tile height")
     params = superpoint.init_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(1)
     images = jnp.asarray(rng.random((B, H, W), np.float32))
 
     want = np.asarray(_stock_pair_bf16(params, images), np.float32)
     got = np.asarray(
-        pallas_pair1t.fused_pair1t(images, params, interpret=True),
+        pallas_pair1t.fused_pair1t(images, params, interpret=True, tp=tp),
         np.float32)
     assert got.shape == want.shape == (B, H // 2, W // 2, 64)
     # both paths: bf16 operands, f32 accumulate, f32 bias+relu, bf16 store;
