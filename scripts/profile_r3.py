@@ -158,6 +158,13 @@ def main():
         results["full_pallasdesc_fps"] = round(B / ms * 1e3, 1)
         print("full-pallasdesc:", results["full_pallasdesc_ms"], "ms/batch",
               flush=True)
+    if "full-sparsedesc" in want:
+        ms = timeit(make_step("pallas_sparse"), images, prev_desc, prev_uv,
+                    prev_valid)
+        results["full_sparsedesc_ms"] = round(ms, 2)
+        results["full_sparsedesc_fps"] = round(B / ms * 1e3, 1)
+        print("full-sparsedesc:", results["full_sparsedesc_ms"], "ms/batch",
+              flush=True)
     if "forward-only" in want:
         ms = timeit(make_forward_only(), images)
         results["forward_only_ms"] = round(ms, 2)

@@ -116,6 +116,14 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
         rows = cy * wc + cx
         desc = jnp.take_along_axis(
             dense.reshape(B, hc * wc, -1), rows[..., None], axis=1)
+    elif desc_method == "pallas_sparse":
+        # per-keypoint dynamic VMEM gather (the row-pick folded into the
+        # kernel); exact sample_descriptors math, no XLA row gather
+        from sp_orb_slam_tpu.ops import pallas_desc
+
+        desc = pallas_desc.pallas_sample_descriptors_sparse(
+            out.coarse_desc, kps.uv, image_hw=(H, W),
+            interpret=jax.default_backend() != "tpu")
     else:
         desc = jax.vmap(partial(superpoint.sample_descriptors,
                                 image_hw=(H, W)))(out.coarse_desc, kps.uv)

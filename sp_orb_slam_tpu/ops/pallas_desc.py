@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for dense bilinear descriptor sampling.
+"""Pallas TPU kernels for bilinear descriptor sampling (dense + sparse).
 
 Samples every cell's candidate keypoint descriptor from the coarse
 descriptor map — the same math as models/superpoint.sample_descriptors_dense
@@ -168,3 +168,83 @@ def pallas_sample_descriptors_dense(coarse: jnp.ndarray,
         interpret=interpret,
     )(flat, flat, flat, w)
     return out.reshape(B, hc, wc, D)
+
+
+# ---------------------------------------------------------------------------
+# sparse per-keypoint gather
+# ---------------------------------------------------------------------------
+#
+# The dense kernel above still hands XLA a 1024-row pick afterwards, and the
+# round-3 numbers say the XLA row gather's cost is ROW-COUNT bound (~3
+# ms/batch at B=32 whether gathering 4 corners directly or picking rows of a
+# pre-sampled dense map).  The only way under it is to do the per-keypoint
+# addressing inside a kernel: with the coarse map VMEM-resident and
+# flattened to (hc*wc, D), a keypoint's four align_corners bilinear corners
+# are two ADJACENT-row pairs (rows r0, r0+1 and r0+wc, r0+wc+1 with
+# r0 = y0*wc + x0; x1 = x0+1 / y1 = y0+1 never clamp because the NMS border
+# filter keeps keypoints >= 8 px inside the image, extractor.py) — two
+# dynamic 2-row loads, a 4-way weighted sum, one dynamic row store.  Row
+# indices ride the scalar-prefetch path (SMEM); corner weights are
+# precomputed in XLA and live in VMEM lanes.
+
+
+@partial(jax.jit, static_argnames=("image_hw", "interpret"))
+def pallas_sample_descriptors_sparse(coarse: jnp.ndarray, uv: jnp.ndarray,
+                                     image_hw: tuple,
+                                     interpret: bool = False) -> jnp.ndarray:
+    """Batched sparse bilinear sampling: coarse (B, hc, wc, D) L2-normalized
+    f32, uv (B, K, 2) keypoint pixel coords -> (B, K, D) unit-norm sampled
+    descriptors (invalid slots included — mask outside, as the gather path
+    does).  Matches jax.vmap(superpoint.sample_descriptors) up to f32
+    rounding; golden-tested in tests/test_pallas_desc.py."""
+    B, hc, wc, D = coarse.shape
+    K = uv.shape[1]
+    H, W = image_hw
+    n = hc * wc
+
+    gx = uv[..., 0] * (wc - 1) / W
+    gy = uv[..., 1] * (hc - 1) / H
+    x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, wc - 2)
+    y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, hc - 2)
+    du = jnp.clip(gx - x0.astype(jnp.float32), 0.0, 1.0)
+    dv = jnp.clip(gy - y0.astype(jnp.float32), 0.0, 1.0)
+    rows = y0 * wc + x0                               # (B, K) int32
+    wts = jnp.stack([(1 - du) * (1 - dv), du * (1 - dv),
+                     (1 - du) * dv, du * dv], axis=-1)  # (B, K, 4)
+
+    flat = coarse.reshape(B, n, D).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, K, 4), lambda b, rows: (b, 0, 0)),
+            pl.BlockSpec((1, n, D), lambda b, rows: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, K, D), lambda b, rows: (b, 0, 0)),
+    )
+
+    def kernel(rows_all_ref, wts_ref, coarse_ref, out_ref):
+        b = pl.program_id(0)
+
+        def body(k, _):
+            r0 = rows_all_ref[b, k]
+            a = coarse_ref[0, pl.dslice(r0, 2), :]
+            bb = coarse_ref[0, pl.dslice(r0 + wc, 2), :]
+            w = wts_ref[0, pl.dslice(k, 1), :]
+            d = (w[:, 0:1] * a[0:1] + w[:, 1:2] * a[1:2]
+                 + w[:, 2:3] * bb[0:1] + w[:, 3:4] * bb[1:2])
+            ss = jnp.sum(d * d, axis=1, keepdims=True)
+            d = d * jnp.where(ss > 0.0, jax.lax.rsqrt(ss), 0.0)
+            out_ref[0, pl.dslice(k, 1), :] = d
+            return 0
+
+        jax.lax.fori_loop(0, K, body, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, K, D), jnp.float32),
+        interpret=interpret,
+    )(rows, wts, flat)
+    return out

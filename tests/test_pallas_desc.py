@@ -60,6 +60,43 @@ def test_pallas_matches_gather_at_candidates():
                                np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [(2, 480, 752), (1, 64, 64)])
+def test_pallas_sparse_matches_gather(shape):
+    """The sparse per-keypoint kernel == sample_descriptors on arbitrary
+    in-border keypoints (any sub-cell position, not just candidates)."""
+    B, H, W = shape
+    K = 128
+    coarse, _ = _random_case(jax.random.PRNGKey(4), B, H, W)
+    ku1, ku2 = jax.random.split(jax.random.PRNGKey(5))
+    uv = jnp.stack([jax.random.uniform(ku1, (B, K), minval=8.0,
+                                       maxval=W - 8.0),
+                    jax.random.uniform(ku2, (B, K), minval=8.0,
+                                       maxval=H - 8.0)], axis=-1)
+    want = jax.vmap(
+        lambda c, u: superpoint.sample_descriptors(c, u, (H, W))
+    )(coarse, uv)
+    got = pallas_desc.pallas_sample_descriptors_sparse(
+        coarse, uv, image_hw=(H, W), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_extract_pallas_sparse_matches_gather():
+    """extract(desc_method='pallas_sparse') == extract(desc_method='gather')
+    on every valid slot."""
+    from sp_orb_slam_tpu.extractor import extract
+
+    params = superpoint.init_params(jax.random.PRNGKey(6))
+    rng = np.random.default_rng(2)
+    images = rng.random((2, 120, 160), np.float32)
+    a = extract(params, jnp.asarray(images), num_features=60,
+                max_keypoints=64, desc_method="gather")
+    b = extract(params, jnp.asarray(images), num_features=60,
+                max_keypoints=64, desc_method="pallas_sparse")
+    np.testing.assert_array_equal(np.asarray(a.uv), np.asarray(b.uv))
+    np.testing.assert_allclose(np.asarray(a.desc), np.asarray(b.desc),
+                               atol=1e-5)
+
+
 def test_extract_pallas_desc_matches_gather():
     """extract(desc_method='pallas') == extract(desc_method='gather')."""
     from sp_orb_slam_tpu.extractor import extract
