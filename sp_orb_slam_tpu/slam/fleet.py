@@ -40,17 +40,17 @@ from sp_orb_slam_tpu.slam.system import System, build_preprocess
 class StreamFleet:
     """N concurrent monocular streams through one batched frontend."""
 
-    def __init__(self, cfg: Config, n_streams: int, params,
-                 mesh=None, axis: str = "stream"):
+    def __init__(self, cfg: Config, n_streams: Optional[int] = None, *,
+                 params, mesh=None, axis: str = "stream"):
         import jax
 
         from sp_orb_slam_tpu.extractor import make_extractor
 
         self.cfg = cfg
-        self.n = n_streams
+        self.n = n_streams if n_streams is not None else cfg.runtime.streams
         self.kernels = TrackingKernels(cfg)
         self.systems = [System(cfg, kernels=self.kernels)
-                        for _ in range(n_streams)]
+                        for _ in range(self.n)]
         self._extract = make_extractor(cfg, params)
         self._preprocess = build_preprocess(cfg)
         self._sharding = None

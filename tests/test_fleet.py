@@ -80,7 +80,7 @@ def test_fleet_three_streams():
 
     cfg = _fleet_cfg()
     params = superpoint.init_params(jax.random.PRNGKey(3))
-    fleet = StreamFleet(cfg, 3, params)
+    fleet = StreamFleet(cfg, 3, params=params)
     assert fleet.systems[0].kernels is fleet.systems[2].kernels
 
     rays = _distorted_rays()
@@ -127,7 +127,7 @@ def test_fleet_sharded_over_stream_mesh():
     cfg = _fleet_cfg()
     params = superpoint.init_params(jax.random.PRNGKey(3))
     mesh = make_mesh(2, platform="cpu")
-    fleet = StreamFleet(cfg, 2, params, mesh=mesh)
+    fleet = StreamFleet(cfg, 2, params=params, mesh=mesh)
 
     rays = _distorted_rays()
     n = 16
