@@ -53,6 +53,7 @@ class StreamFleet:
                         for _ in range(self.n)]
         self._extract = make_extractor(cfg, params)
         self._preprocess = build_preprocess(cfg)
+        self.n_batched_dust = 0   # streams served by the batched prepass
         self._sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -94,6 +95,7 @@ class StreamFleet:
         inj_streams = [i for i, r in enumerate(raws)
                        if r is not None and r.injected is not None]
 
+        frames: dict = {}
         if img_streams:
             Hc, Wc = self.cfg.camera.height, self.cfg.camera.width
             imgs = np.stack([
@@ -120,15 +122,57 @@ class StreamFleet:
                 host["cov2_inv"] = host["cov2_inv"].astype(np.float32)
                 host["occ_grid"] = host["occ_grid"].astype(np.int32)
                 sysi = self.systems[i]
+                sysi._apply_pending_toggles()
                 frame = frame_from_features(feats, b, sysi.frame_id,
                                             raws[i].timestamp, host)
                 frame.global_desc = raws[i].global_desc
-                out[i] = sysi.run_frame(frame)
-
+                frames[i] = frame
         for i in inj_streams:
             sysi = self.systems[i]
-            out[i] = sysi.run(raws[i])
+            sysi._apply_pending_toggles()
+            frames[i] = sysi._frame_from_injected(raws[i])
+            frames[i].global_desc = raws[i].global_desc
+
+        self._dust_prepass(frames)
+        for i, frame in frames.items():
+            out[i] = self.systems[i].run_frame(frame)
         return out
+
+    def _dust_prepass(self, frames: dict) -> None:
+        """Batch the dust coarse stage across every OK stream: one vmapped
+        kernel + ONE packed readback instead of N sequential per-stream
+        calls (each ~25 ms of tunnel latency in this environment, and N
+        kernel dispatches anywhere).  Streams where the prep finds nothing
+        stage a no-points marker; streams not in the OK dust regime
+        (initializing, LOST, heat variant, localization-vo arbitration)
+        simply keep the per-stream path."""
+        import jax.numpy as jnp
+
+        from sp_orb_slam_tpu.slam import tracking as tr
+
+        if self.cfg.tracking.coarse_method == "heat":
+            return
+        preps = []
+        for i, frame in frames.items():
+            t = self.systems[i].tracker
+            if t.state != tr.OK or (t.only_tracking and t.vo_mode):
+                continue
+            p = t.prepare_dust(frame)
+            if p is None:
+                t.staged_dust = (frame, None)
+            else:
+                preps.append((t, frame, p))
+        if not preps:
+            return
+        self.n_batched_dust += len(preps)
+        # fixed batch width (pad by repeating row 0) = one compile
+        rows = [p[2][2] for p in preps]
+        while len(rows) < self.n:
+            rows.append(rows[0])
+        args = [jnp.stack([r[a] for r in rows]) for a in range(10)]
+        outs = self.kernels.dust_track_batch(*args)
+        for (t, frame, (pids, Tcw_pred, _)), o in zip(preps, outs):
+            t.staged_dust = (frame, (pids, Tcw_pred, o))
 
     # ------------------------------------------------------------- lifecycle
 

@@ -473,6 +473,25 @@ class TrackingKernels:
             return self.dust_layout.pack(**out)
 
         @jit_f32
+        def dust_batch_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, dust,
+                          occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid):
+            """Stream-batched dust stage (slam/fleet.py serving prepass):
+            the same body vmapped over a leading stream axis, ONE packed
+            (N, L) readback for the whole fleet — N sequential per-stream
+            calls pay N kernel dispatches + N ~25 ms tunnel readbacks."""
+
+            def one(T, pos, dtr, pv, du, og, kd, ku, kc, kv):
+                out = dust_track_body(
+                    T, pos, dtr, pv, du, og, kd, ku, kc, kv, self.K_intr,
+                    dust_iters=d.iters, huber_delta=d.huber_delta,
+                    chi2_inlier=d.chi2_inlier)
+                return self.dust_layout.pack(**out)
+
+            return jax.vmap(one)(Tcw_pred, mp_pos, mp_desc_track, mp_valid,
+                                 dust, occ_grid, kp_desc, kp_uv,
+                                 kp_cov2_inv, kp_valid)
+
+        @jit_f32
         def heat_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, heat,
                     occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid):
             out = heat_track_body(
@@ -584,6 +603,7 @@ class TrackingKernels:
             return self.fuse_layout.pack(**out)
 
         self._dust = dust_fn
+        self._dust_batch = dust_batch_fn
         self._heat = heat_fn
         self._motion = motion_fn
         self._ref = ref_fn
@@ -630,6 +650,12 @@ class TrackingKernels:
 
     def dust_track(self, *args):
         return self.dust_layout.unpack(np.asarray(self._dust(*args)))
+
+    def dust_track_batch(self, *args):
+        """Batched dust stage: args carry a leading stream axis; returns a
+        list of unpacked per-stream dicts from ONE device readback."""
+        flat = np.asarray(self._dust_batch(*args))
+        return [self.dust_layout.unpack(row) for row in flat]
 
     def motion_track(self, *args):
         return self.track_layout.unpack(np.asarray(self._motion(*args)))

@@ -65,6 +65,10 @@ class Tracking:
         self.local_kfs: List[int] = []
         self.local_pids: List[int] = []
         self.last_dust_pids: List[int] = []  # viz: coarse candidates
+        # fleet serving prepass (slam/fleet.py): (frame, payload) where
+        # payload = (pids, Tcw_pred, out) from the batched dust kernel, or
+        # None when prepare_dust found nothing; consumed once by _track_dust
+        self.staged_dust = None
         # trajectory bookkeeping (tracker.cpp:343-356)
         self.rel_poses: List[np.ndarray] = []
         self.refs: List[int] = []
@@ -362,37 +366,55 @@ class Tracking:
             valid[:n] = True
         return pos, desc, valid
 
-    def _track_dust(self, frame: FrameData) -> bool:
-        """trackFrameDustKFLocal (tracker_dust.cpp:22-228)."""
+    def prepare_dust(self, frame: FrameData):
+        """Host-side input prep for the dust coarse stage, split out so the
+        fleet's serving prepass (slam/fleet.py) can batch the kernel across
+        streams.  Returns (pids, Tcw_pred, args) with args matching
+        kernels.dust_track, or None when there is nothing to track against.
+        Idempotent for the same frame (the fallback stages re-run
+        `_update_last_frame_pose` anyway)."""
         self._update_last_frame_pose()
         Tcw_pred = (self.velocity @ self.last_frame.Tcw
                     if self.velocity is not None else self.last_frame.Tcw)
         frame.set_pose(Tcw_pred)
         frame.mp_ids[:] = -1
-        ref = self.map.keyframes.get(self.last_frame.ref_kf)
         frame.ref_kf = self.last_frame.ref_kf
 
         pids, n_kfs = self._gather_dust_points(frame)
         self.last_dust_pids = pids  # coarse-stage candidates (viz status)
         if not pids:
-            return False
+            return None
         P = self.cfg.runtime.dust_points_cap
         pos, desc_track, valid = self._pad_mp_arrays(
             pids, P, self.map.pool.desc_track)
-        d = self.cfg.tracking.dust
-        if (self.cfg.tracking.coarse_method == "heat"
-                and frame.heat_dev is not None):
-            # heat-alignment variant (trackFrameHeat,
-            # tracker_dust.cpp:405-446) behind the config switch
-            out = self.k.heat_track(
-                Tcw_pred.astype(np.float32), pos, desc_track, valid,
-                frame.heat_dev, frame.occ_grid_dev, frame.desc_dev,
-                frame.uv, frame.cov2_inv, frame.valid)
-        else:
-            out = self.k.dust_track(
-                Tcw_pred.astype(np.float32), pos, desc_track, valid,
+        args = (Tcw_pred.astype(np.float32), pos, desc_track, valid,
                 frame.dust_dev, frame.occ_grid_dev, frame.desc_dev,
                 frame.uv, frame.cov2_inv, frame.valid)
+        return pids, Tcw_pred, args
+
+    def _track_dust(self, frame: FrameData) -> bool:
+        """trackFrameDustKFLocal (tracker_dust.cpp:22-228)."""
+        staged = self.staged_dust
+        self.staged_dust = None
+        d = self.cfg.tracking.dust
+        if staged is not None and staged[0] is frame:
+            # fleet prepass already prepped + ran the batched kernel
+            if staged[1] is None:
+                return False
+            pids, Tcw_pred, out = staged[1]
+        else:
+            prep = self.prepare_dust(frame)
+            if prep is None:
+                return False
+            pids, Tcw_pred, args = prep
+            if (self.cfg.tracking.coarse_method == "heat"
+                    and frame.heat_dev is not None):
+                # heat-alignment variant (trackFrameHeat,
+                # tracker_dust.cpp:405-446) behind the config switch
+                out = self.k.heat_track(args[0], *args[1:4],
+                                        frame.heat_dev, *args[5:])
+            else:
+                out = self.k.dust_track(*args)
 
         # viz/state feedback on the candidate points
         for li, pid in enumerate(pids):
