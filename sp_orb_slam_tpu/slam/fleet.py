@@ -53,7 +53,8 @@ class StreamFleet:
                         for _ in range(self.n)]
         self._extract = make_extractor(cfg, params)
         self._preprocess = build_preprocess(cfg)
-        self.n_batched_dust = 0   # streams served by the batched prepass
+        self.n_batched_dust = 0   # stream-frames served by the batched stages
+        self.n_batched_local = 0
         self._sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -133,9 +134,24 @@ class StreamFleet:
             frames[i] = sysi._frame_from_injected(raws[i])
             frames[i].global_desc = raws[i].global_desc
 
+        # phased drive: coarse for every stream -> batched fine kernel ->
+        # per-stream fine consumption + post-track.  The whole OK-path
+        # device work per tick is then 3 batched programs (extract, dust,
+        # local-map) + rare per-stream fallbacks, instead of 1 + 2N.
         self._dust_prepass(frames)
         for i, frame in frames.items():
-            out[i] = self.systems[i].run_frame(frame)
+            sysi = self.systems[i]
+            if sysi.cfg.online:
+                sysi.start_threads()
+            with sysi.timer.span("tracking/total"):
+                sysi.tracker.track_frame_coarse(frame)
+        self._local_prepass(frames)
+        for i, frame in frames.items():
+            sysi = self.systems[i]
+            with sysi.timer.span("tracking/total"):
+                sysi.tracker.track_frame_fine(frame)
+            sysi._post_track(frame, raws[i])
+            out[i] = sysi._last_valid_pose()
         return out
 
     def _dust_prepass(self, frames: dict) -> None:
@@ -165,14 +181,47 @@ class StreamFleet:
         if not preps:
             return
         self.n_batched_dust += len(preps)
-        # fixed batch width (pad by repeating row 0) = one compile
-        rows = [p[2][2] for p in preps]
-        while len(rows) < self.n:
-            rows.append(rows[0])
-        args = [jnp.stack([r[a] for r in rows]) for a in range(10)]
-        outs = self.kernels.dust_track_batch(*args)
+        outs = self._run_batched(self.kernels.dust_track_batch,
+                                 [p[2][2] for p in preps])
         for (t, frame, (pids, Tcw_pred, _)), o in zip(preps, outs):
             t.staged_dust = (frame, (pids, Tcw_pred, o))
+
+    def _local_prepass(self, frames: dict) -> None:
+        """Batch the fine (local-map) stage's primary kernel call across
+        every stream whose coarse phase succeeded; narrow- and wide-window
+        variants batch separately (fixed width each = one compile apiece).
+        The starvation/aliasing retries stay per-stream — they fire
+        rarely and depend on the primary result."""
+        groups = {False: [], True: []}
+        for i, frame in frames.items():
+            t = self.systems[i].tracker
+            if t._phase is None or not t._phase[0]:
+                continue        # init frame, or every coarse stage failed
+            with t.map.update_lock:
+                prep = t.prepare_local_map(frame)
+            groups[prep["wide"]].append((t, frame, prep))
+        for wide, grp in groups.items():
+            if not grp:
+                continue
+            self.n_batched_local += len(grp)
+            outs = self._run_batched(
+                lambda *a, w=wide: self.kernels.local_map_track_batch(
+                    *a, wide=w),
+                [p["args"] for _, _, p in grp])
+            for (t, frame, prep), o in zip(grp, outs):
+                t.staged_local = (frame, prep, o)
+
+    def _run_batched(self, batch_fn, rows: list) -> list:
+        """Stack per-stream arg tuples to the fixed fleet width (pad by
+        repeating row 0 — one compile) and run the batched kernel."""
+        import jax.numpy as jnp
+
+        n_live = len(rows)
+        rows = list(rows)
+        while len(rows) < self.n:
+            rows.append(rows[0])
+        args = [jnp.stack([r[a] for r in rows]) for a in range(len(rows[0]))]
+        return batch_fn(*args)[:n_live]
 
     # ------------------------------------------------------------- lifecycle
 

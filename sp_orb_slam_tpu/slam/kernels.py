@@ -473,25 +473,6 @@ class TrackingKernels:
             return self.dust_layout.pack(**out)
 
         @jit_f32
-        def dust_batch_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, dust,
-                          occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid):
-            """Stream-batched dust stage (slam/fleet.py serving prepass):
-            the same body vmapped over a leading stream axis, ONE packed
-            (N, L) readback for the whole fleet — N sequential per-stream
-            calls pay N kernel dispatches + N ~25 ms tunnel readbacks."""
-
-            def one(T, pos, dtr, pv, du, og, kd, ku, kc, kv):
-                out = dust_track_body(
-                    T, pos, dtr, pv, du, og, kd, ku, kc, kv, self.K_intr,
-                    dust_iters=d.iters, huber_delta=d.huber_delta,
-                    chi2_inlier=d.chi2_inlier)
-                return self.dust_layout.pack(**out)
-
-            return jax.vmap(one)(Tcw_pred, mp_pos, mp_desc_track, mp_valid,
-                                 dust, occ_grid, kp_desc, kp_uv,
-                                 kp_cov2_inv, kp_valid)
-
-        @jit_f32
         def heat_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, heat,
                     occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid):
             out = heat_track_body(
@@ -560,6 +541,21 @@ class TrackingKernels:
                 c2_thresh=cfg.tracking.dust.c2_thresh)
             return self.local_layout.pack(**out)
 
+        def _batched(single_pack_fn):
+            """Stream-batched variant of a packed kernel fn (the fleet
+            serving prepass, slam/fleet.py): the same body vmapped over a
+            leading stream axis, ONE packed (N, L) readback for the whole
+            fleet — N sequential per-stream calls pay N kernel dispatches
+            plus N ~25 ms tunnel readbacks."""
+            @jit_f32
+            def batch_fn(*args):
+                return jax.vmap(single_pack_fn)(*args)
+            return batch_fn
+
+        dust_batch_fn = _batched(dust_fn)
+        local_batch_fn = _batched(local_fn)
+        local_wide_batch_fn = _batched(local_wide_fn)
+
         self.init_layout = Layout([
             ("ok", (), bool), ("used_h", (), bool), ("R21", (3, 3), float),
             ("t21", (3,), float), ("points", (K, 3), float),
@@ -610,6 +606,8 @@ class TrackingKernels:
         self._reloc = reloc_fn
         self._local = local_fn
         self._local_wide = local_wide_fn
+        self._local_batch = local_batch_fn
+        self._local_wide_batch = local_wide_batch_fn
         self._init = init_fn
         self._tri = tri_fn
         self._fuse = fuse_fn
@@ -671,6 +669,13 @@ class TrackingKernels:
 
     def local_map_track_wide(self, *args):
         return self.local_layout.unpack(np.asarray(self._local_wide(*args)))
+
+    def local_map_track_batch(self, *args, wide: bool = False):
+        """Batched fine stage (leading stream axis): a list of unpacked
+        per-stream dicts from ONE device readback."""
+        fn = self._local_wide_batch if wide else self._local_batch
+        flat = np.asarray(fn(*args))
+        return [self.local_layout.unpack(row) for row in flat]
 
     def init_two_view(self, *args):
         return self.init_layout.unpack(np.asarray(self._init(*args)))

@@ -198,6 +198,14 @@ class System:
             self.start_threads()
         with self.timer.span("tracking/total"):
             self.tracker.track_frame(frame)
+        self._post_track(frame, raw)
+
+    def _post_track(self, frame: FrameData, raw: Optional[RawFrame] = None
+                    ) -> None:
+        """Everything after tracking: observability, reset handling, the
+        offline mapping/loop spins, frame counting.  Split out so the
+        fleet's phased drive (slam/fleet.py) can run it after
+        track_frame_fine."""
         if self.debug_dir is not None and raw is not None:
             self._write_debug(raw, frame)
         if self.viewer is not None:

@@ -69,6 +69,8 @@ class Tracking:
         # payload = (pids, Tcw_pred, out) from the batched dust kernel, or
         # None when prepare_dust found nothing; consumed once by _track_dust
         self.staged_dust = None
+        self.staged_local = None    # (frame, prep, out) from the fine prepass
+        self._phase = None          # (ok, was_lost) between the fleet phases
         # trajectory bookkeeping (tracker.cpp:343-356)
         self.rel_poses: List[np.ndarray] = []
         self.refs: List[int] = []
@@ -93,6 +95,39 @@ class Tracking:
                 self._record_trajectory(frame)
                 return
             self._track(frame)
+            self._record_trajectory(frame)
+
+    # Two-phase drive (slam/fleet.py): coarse for every stream, then ONE
+    # batched fine-stage kernel, then per-stream fine consumption.  The
+    # single-stream track_frame above keeps one lock hold; the phases each
+    # take the lock so a threaded mapper can interleave between them (the
+    # same interleaving the per-stream online mode already tolerates
+    # between whole frames).
+
+    def track_frame_coarse(self, frame: FrameData) -> None:
+        """Fleet phase 1: initialization or the coarse cascade; stages the
+        (ok, was_lost) pair for track_frame_fine."""
+        with self.map.update_lock:
+            if self.state == NO_IMAGES_YET:
+                self.state = NOT_INITIALIZED
+            if self.state == NOT_INITIALIZED:
+                self._initialization(frame)
+                if self.state == OK:
+                    self.velocity = np.eye(4, dtype=np.float32)
+                self._record_trajectory(frame)
+                self._phase = None
+                return
+            self._phase = self._track_coarse(frame)
+
+    def track_frame_fine(self, frame: FrameData) -> None:
+        """Fleet phase 3: fine stage (consuming any staged batched result)
+        + state/motion-model/keyframe tail + trajectory bookkeeping."""
+        with self.map.update_lock:
+            if self._phase is None:
+                return
+            ok, was_lost = self._phase
+            self._phase = None
+            self._track_fine(frame, ok, was_lost)
             self._record_trajectory(frame)
 
     # --------------------------------------------------------- initialization
@@ -222,6 +257,10 @@ class Tracking:
     # ----------------------------------------------------------------- track
 
     def _track(self, frame: FrameData) -> None:
+        ok, was_lost = self._track_coarse(frame)
+        self._track_fine(frame, ok, was_lost)
+
+    def _track_coarse(self, frame: FrameData):
         self._check_replaced_in_last_frame()
         ok = False
         was_lost = self.state == LOST
@@ -244,6 +283,9 @@ class Tracking:
         else:
             ok = self._relocalize(frame)
         frame.ref_kf = self.ref_kf
+        return ok, was_lost
+
+    def _track_fine(self, frame: FrameData, ok: bool, was_lost: bool) -> None:
         coarse_ok = ok
         if ok:
             ok = self._track_local_map(frame)
@@ -714,8 +756,11 @@ class Tracking:
                         pids.append(mp.pid)
         self.local_pids = pids
 
-    def _track_local_map(self, frame: FrameData) -> bool:
-        """TrackLocalMap (tracker.cpp:561-615) + SearchLocalPoints (:768)."""
+    def prepare_local_map(self, frame: FrameData):
+        """Host-side prep for the fine stage, split out so the fleet
+        prepass can batch the primary kernel call across streams.  Returns
+        {pids, n, args, wide}; mutates visibility bookkeeping, so it runs
+        exactly once per frame (the staged path skips the re-prep)."""
         self._update_local_map(frame)
         L = self.cfg.runtime.local_points_cap
         pids = self.local_pids[:L]
@@ -759,16 +804,29 @@ class Tracking:
         args = (frame.Tcw.astype(np.float32), pos, desc, normal, dmin, dmax,
                 valid, skip, kp2mp0, frame.desc_dev, frame.uv,
                 frame.cov2_inv, frame.valid)
-        if self.map.ba_epoch != self._seen_ba_epoch:
+        wide = self.map.ba_epoch != self._seen_ba_epoch
+        if wide:
             # first frame after a BA write-back: the adjustment moves point
             # projections by ~3 px (seed-2 rail, NOTES r3) — outside the
             # 2.5-4 px window — so search widened immediately instead of
             # collapsing bindings first (reference precedent: the widened
             # window after relocalization, sp_matcher.cpp th parameter)
             self._seen_ba_epoch = self.map.ba_epoch
-            out = self.k.local_map_track_wide(*args)
+        return {"pids": pids, "n": n, "args": args, "wide": wide}
+
+    def _track_local_map(self, frame: FrameData) -> bool:
+        """TrackLocalMap (tracker.cpp:561-615) + SearchLocalPoints (:768)."""
+        staged = self.staged_local
+        self.staged_local = None
+        if staged is not None and staged[0] is frame:
+            prep, out = staged[1], staged[2]
         else:
-            out = self.k.local_map_track(*args)
+            prep = self.prepare_local_map(frame)
+            if prep["wide"]:
+                out = self.k.local_map_track_wide(*prep["args"])
+            else:
+                out = self.k.local_map_track(*prep["args"])
+        pids, n, args = prep["pids"], prep["n"], prep["args"]
         if int(out["n_inlier"]) <= self.cfg.tracking.map.th_ninlier_high:
             # Starvation retry at the widened window (see
             # local_map_track_wide): local-BA depth slides on low-parallax

@@ -136,6 +136,7 @@ def test_fleet_batched_dust_matches_single_system():
                 fleet_poses[i].append(res[i])
     fleet.shutdown()
     assert fleet.n_batched_dust > 2 * (n // 2), fleet.n_batched_dust
+    assert fleet.n_batched_local > 2 * (n // 2), fleet.n_batched_local
 
     for i in range(2):
         sys_ = System(cfg, kernels=fleet.kernels)
