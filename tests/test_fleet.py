@@ -155,6 +155,30 @@ def test_fleet_batched_dust_matches_single_system():
             np.testing.assert_allclose(a, b, atol=5e-4)
 
 
+def test_fleet_online_mode():
+    """Phased drive under online mode: each stream's mapper runs on its own
+    thread and may interleave between the coarse/fine lock holds; the
+    fleet must stay healthy and shut down cleanly."""
+    from sp_orb_slam_tpu.io.dataset import SyntheticDataset
+    from sp_orb_slam_tpu.slam import tracking as tr
+    from sp_orb_slam_tpu.slam.fleet import StreamFleet
+
+    cfg = _merge_dataclass(Config(), {"dataset": "synthetic",
+                                      "online": True})
+    n = 30
+    streams = [list(SyntheticDataset(cfg, n_frames=n, seed=s))
+               for s in (3, 4)]
+    fleet = StreamFleet(cfg, 2, params=None)
+    for k in range(n):
+        fleet.tick([streams[0][k], streams[1][k]])
+    fleet.shutdown()
+    for i, rep in enumerate(fleet.report()):
+        assert fleet.systems[i].tracker.state == tr.OK, (i, rep)
+        assert rep["n_lost"] == 0, (i, rep)
+        assert rep["n_keyframes"] >= 2, (i, rep)
+    assert fleet.n_batched_dust > n, fleet.n_batched_dust
+
+
 @pytest.mark.slow
 def test_fleet_sharded_over_stream_mesh():
     """The image batch placed on a 2-device stream mesh runs the same
