@@ -56,7 +56,8 @@ def main():
     prev_uv = jnp.asarray(rng.random((B, K, 2), np.float32) * 400)
     prev_valid = jnp.ones((B, K), bool)
 
-    def make_step(desc_method="gather", cov="pallas", packing="none"):
+    def make_step(desc_method="gather", cov="pallas", packing="none",
+                  emission="scatter"):
         @jax.jit
         def step(images, prev_desc, prev_uv, prev_valid):
             feats = extract(
@@ -68,7 +69,8 @@ def main():
                 cov_iters=cfg.extractor.cov_iters,
                 cov_method="none" if cov == "none" else "pallas",
                 nms_method="pallas", desc_method=desc_method,
-                conv_packing=packing, compute_dtype=jnp.bfloat16)
+                conv_packing=packing, emission=emission,
+                compute_dtype=jnp.bfloat16)
 
             def match_one(desc, uv, valid, pdesc, puv, pvalid):
                 m = matching.search_for_initialization(
@@ -157,6 +159,13 @@ def main():
         results["full_pallasdesc_ms"] = round(ms, 2)
         results["full_pallasdesc_fps"] = round(B / ms * 1e3, 1)
         print("full-pallasdesc:", results["full_pallasdesc_ms"], "ms/batch",
+              flush=True)
+    if "full-sortemit" in want:
+        ms = timeit(make_step("gather", emission="sort"), images, prev_desc,
+                    prev_uv, prev_valid)
+        results["full_sortemit_ms"] = round(ms, 2)
+        results["full_sortemit_fps"] = round(B / ms * 1e3, 1)
+        print("full-sortemit:", results["full_sortemit_ms"], "ms/batch",
               flush=True)
     if "full-sparsedesc" in want:
         ms = timeit(make_step("pallas_sparse"), images, prev_desc, prev_uv,

@@ -46,7 +46,7 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             cov_radius: int = 8, cov_iters: int = 16,
             cov_method: str = "auto", nms_method: str = "auto",
             desc_method: str = "auto", conv_packing: str = "auto",
-            with_heat: bool = False,
+            with_heat: bool = False, emission: str = "scatter",
             compute_dtype=jnp.float32) -> Features:
     """images: (B, H, W) float32 in [0, 1].
 
@@ -87,7 +87,8 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
         lambda s, cu, cv, al: nms_ops.select_keypoints(
             s, cu, cv, num_features=num_features,
             max_keypoints=max_keypoints, image_hw=(H, W), dist=nms_dist,
-            border=border, nms_iters=nms_iters, alive=al)
+            border=border, nms_iters=nms_iters, alive=al,
+            emission=emission)
     )(out.score, out.cand_uv, out.cand_valid, alive)
 
     if desc_method == "auto":

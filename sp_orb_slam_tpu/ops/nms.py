@@ -120,12 +120,20 @@ def select_keypoints(score: jnp.ndarray, cand_uv: jnp.ndarray,
                      cand_valid: jnp.ndarray, *, num_features: int,
                      max_keypoints: int, image_hw: tuple[int, int],
                      dist: int = 4, border: int = 8,
-                     nms_iters: int = 16, alive: jnp.ndarray = None) -> Keypoints:
+                     nms_iters: int = 16, alive: jnp.ndarray = None,
+                     emission: str = "scatter") -> Keypoints:
     """Full reference keypoint selection for one image: NMS -> score cap ->
     border filter -> raster-order emission + occ_grid.
 
     `alive` optionally injects a precomputed NMS survivor mask (the Pallas
     kernel path, ops/pallas_nms.py, computes it for the whole batch at once).
+
+    `emission` selects the raster-emission lowering — "scatter" (three
+    `.at[target].set` updates; the measured 890 f/s configuration) or
+    "sort" (one ascending sort + three row gathers; written against TPU
+    scatter serialization but UNMEASURED in-graph because the tunnel went
+    down before the profile ran — flip the default once timed).  Both are
+    exact and golden-tested.
     """
     H, W = image_hw
     hc, wc = score.shape
@@ -164,33 +172,47 @@ def select_keypoints(score: jnp.ndarray, cand_uv: jnp.ndarray,
     # raster-order emission: candidates live one-per-cell, and raster order
     # over pixels equals raster order over cells for per-cell argmax points
     # only when each point stays inside its own cell (always true here).
-    #
-    # Scatter-free: slot s holds the s-th selected cell in raster order, so
-    # one ascending sort of (selected ? cell : BIG) yields the slot->cell
-    # table directly and the outputs become three tiny row gathers (the
-    # previous .at[target].set emission paid three serialized TPU scatters).
-    # Exactness needs every selected cell to land in a distinct slot, which
-    # holds because the score cap bounds n at num_features+1 <= K.
+    # Exactness of both lowerings needs every selected cell to land in a
+    # distinct slot, which holds because the score cap bounds the survivor
+    # count at num_features+1 <= K.
     assert num_features + 1 <= K, (num_features, K)
     sel_flat = sel.reshape(-1)
     slots = jnp.cumsum(sel_flat.astype(jnp.int32)) - 1
     n = jnp.sum(sel_flat.astype(jnp.int32))
     occ_grid = jnp.where(sel, slots.reshape(hc, wc), -1).astype(jnp.int32)
 
-    cells = jnp.sort(jnp.where(sel_flat, flat_idx, hc * wc))
-    if cells.shape[0] < K:     # tiny images (tests): fewer cells than slots
-        cells = jnp.pad(cells, (0, K - cells.shape[0]),
-                        constant_values=hc * wc)
-    cells = cells[:K]
+    if emission == "sort":
+        # slot s holds the s-th selected cell in raster order, so one
+        # ascending sort of (selected ? cell : BIG) yields the slot->cell
+        # table directly; outputs become three tiny row gathers
+        cells = jnp.sort(jnp.where(sel_flat, flat_idx, hc * wc))
+        if cells.shape[0] < K:  # tiny images (tests): fewer cells than slots
+            cells = jnp.pad(cells, (0, K - cells.shape[0]),
+                            constant_values=hc * wc)
+        cells = cells[:K]
+        valid_out = (jax.lax.broadcasted_iota(
+            jnp.int32, (K, 1), 0).squeeze(-1) < n)
+        safe = jnp.clip(cells, 0, hc * wc - 1)
+        uv_out = jnp.where(
+            valid_out[:, None],
+            cand_uv.reshape(-1, 2).astype(jnp.float32)[safe], 0.0)
+        score_out = jnp.where(valid_out, score.reshape(-1)[safe], 0.0)
+        cell_out = jnp.where(valid_out, safe, -1)
+        return Keypoints(uv_out, score_out, valid_out, cell_out, occ_grid,
+                         n.astype(jnp.int32))
+
+    target = jnp.where(sel_flat, jnp.minimum(slots, K - 1), K)  # K = dump
+    uv_out = jnp.zeros((K + 1, 2), jnp.float32).at[target].set(
+        cand_uv.reshape(-1, 2).astype(jnp.float32), mode="drop")[:K]
+    score_out = jnp.zeros((K + 1,), jnp.float32).at[target].set(
+        score.reshape(-1), mode="drop")[:K]
+    cell_out = jnp.full((K + 1,), -1, jnp.int32).at[target].set(
+        jax.lax.broadcasted_iota(jnp.int32, (hc * wc, 1), 0).squeeze(-1),
+        mode="drop")[:K]
     valid_out = (jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0).squeeze(-1)
-                 < n)
-    safe = jnp.clip(cells, 0, hc * wc - 1)
-    uv_out = jnp.where(valid_out[:, None],
-                       cand_uv.reshape(-1, 2).astype(jnp.float32)[safe], 0.0)
-    score_out = jnp.where(valid_out, score.reshape(-1)[safe], 0.0)
-    cell_out = jnp.where(valid_out, safe, -1)
+                 < jnp.minimum(n, K))
     return Keypoints(uv_out, score_out, valid_out, cell_out, occ_grid,
-                     n.astype(jnp.int32))
+                     jnp.minimum(n, K).astype(jnp.int32))
 
 
 def greedy_grid_nms_reference(score, cand_uv, cand_valid, *, dist=4):

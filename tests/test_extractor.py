@@ -168,6 +168,41 @@ def test_select_keypoints_semantics():
     assert np.asarray(kps.valid).sum() == n
 
 
+def test_emission_lowerings_agree():
+    """The sort-based raster emission == the scatter emission exactly, on
+    every output field, across random inputs (both lowerings selectable
+    via select_keypoints(emission=...))."""
+    rng = np.random.default_rng(11)
+    hc, wc = 15, 20
+    h, w = hc * 8, wc * 8
+    for trial in range(3):
+        score = rng.random((hc, wc), dtype=np.float32)
+        du = rng.integers(0, 8, (hc, wc))
+        dv = rng.integers(0, 8, (hc, wc))
+        uv = np.stack([np.arange(wc)[None, :] * 8 + du,
+                       np.arange(hc)[:, None] * 8 + dv], -1).astype(np.int32)
+        valid = score > 0.15
+        kw = dict(num_features=50, max_keypoints=64, image_hw=(h, w),
+                  nms_iters=32)
+        a = nms_ops.select_keypoints(jnp.asarray(score), jnp.asarray(uv),
+                                     jnp.asarray(valid),
+                                     emission="scatter", **kw)
+        b = nms_ops.select_keypoints(jnp.asarray(score), jnp.asarray(uv),
+                                     jnp.asarray(valid),
+                                     emission="sort", **kw)
+        assert int(a.count) == int(b.count)
+        n = int(a.count)
+        np.testing.assert_array_equal(np.asarray(a.uv[:n]),
+                                      np.asarray(b.uv[:n]))
+        np.testing.assert_array_equal(np.asarray(a.score[:n]),
+                                      np.asarray(b.score[:n]))
+        np.testing.assert_array_equal(np.asarray(a.cell), np.asarray(b.cell))
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
+        np.testing.assert_array_equal(np.asarray(a.occ_grid),
+                                      np.asarray(b.occ_grid))
+
+
 def test_covariance_matches_bfs():
     rng = np.random.default_rng(9)
     h, w = 64, 64
