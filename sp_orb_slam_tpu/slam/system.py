@@ -376,6 +376,50 @@ class System:
         if online:
             self.mapper.release()
 
+    # ------------------------------------------------------- map persistence
+
+    def save_map(self, path: str) -> None:
+        """Persist the live map (slam/serialize.py).  The reference has no
+        map persistence at all (SURVEY.md §5) — this enables the build-once
+        / localize-many serving pattern."""
+        from sp_orb_slam_tpu.slam.serialize import save_map
+
+        with self.map.update_lock:
+            save_map(self.map, path)
+
+    def load_map(self, path: str) -> None:
+        """Replace the current map with a saved one and arm the tracker for
+        cold-start relocalization (the first frames enter through the
+        multi-start relocalization path instead of two-view init).  Call
+        before spinning; typically paired with
+        `activate_localization_mode()` to freeze the loaded map."""
+        from sp_orb_slam_tpu.slam.serialize import load_map
+        from sp_orb_slam_tpu.slam.tracking import LOST
+
+        was_online = self.mapper._thread is not None
+        if was_online:
+            self.mapper.request_stop()
+            self.mapper.wait_until_stopped()
+        hook = self.map.global_desc_fn
+        self.map = load_map(path, mp_capacity=self.map.pool.capacity)
+        self.map.global_desc_fn = hook
+        self.mapper = LocalMapping(self.cfg, self.map, self.kernels)
+        if self.looper is not None:
+            from sp_orb_slam_tpu.slam.loop_closing import LoopClosing
+
+            self.looper.shutdown()
+            self.looper = LoopClosing(self.cfg, self.map, self.kernels,
+                                      self.mapper)
+            self.mapper.looper = self.looper
+        self.tracker = Tracking(self.cfg, self.map, self.kernels,
+                                self.mapper)
+        live = [k for k, kf in self.map.keyframes.items() if not kf.bad]
+        if live:
+            self.tracker.state = LOST
+            self.tracker.ref_kf = max(live)
+        if was_online:
+            self.start_threads()
+
     # ------------------------------------------------------------ trajectory
 
     def trajectory(self):
