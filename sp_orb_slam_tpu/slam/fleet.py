@@ -251,6 +251,17 @@ class StreamFleet:
                 break
         self.shutdown()
 
+    def load_map(self, path: str, localization: bool = True) -> None:
+        """Multi-camera localization server: every stream loads the same
+        saved map (slam/serialize.py) and, by default, freezes it
+        (localization mode).  Each stream keeps its own Map instance so
+        per-stream bookkeeping (found/visible counters, reloc state) stays
+        independent — correct, since a frozen map is never written back."""
+        for s in self.systems:
+            s.load_map(path)
+            if localization:
+                s.activate_localization_mode()
+
     def shutdown(self) -> None:
         for s in self.systems:
             if s.cfg.online:

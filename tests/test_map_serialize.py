@@ -56,6 +56,39 @@ def test_save_load_roundtrip(tmp_path):
             assert m2.points[pid2].obs.keys() == mp1.obs.keys()
 
 
+def test_fleet_localization_server(tmp_path):
+    """Build once, serve many: a 2-stream fleet loads one saved map and
+    localizes both streams (batched extraction/tracking stages + frozen
+    map), each in the mapping session's world frame."""
+    from sp_orb_slam_tpu.slam.fleet import StreamFleet
+
+    cfg = _cfg()
+    ds = list(SyntheticDataset(cfg, n_frames=60, seed=5))
+    sys1 = System(cfg)
+    for raw in ds:
+        sys1.process(raw)
+    path = str(tmp_path / "map.npz")
+    sys1.save_map(path)
+
+    fleet = StreamFleet(cfg, 2, params=None)
+    fleet.load_map(path)
+    for s in fleet.systems:
+        assert s.tracker.state == tr.LOST  # armed for cold reloc
+
+    ok_ticks = [0, 0]
+    for k in range(20, 50):
+        res = fleet.tick([ds[k], ds[min(k + 5, 59)]])
+        for i in range(2):
+            if res[i] is not None:
+                ok_ticks[i] += 1
+    fleet.shutdown()
+    for i, s in enumerate(fleet.systems):
+        assert s.tracker.state == tr.OK, (i, s.tracker.last_fail)
+        assert s.tracker.only_tracking
+        assert ok_ticks[i] >= 20, (i, ok_ticks)
+        assert s.map.n_keyframes() == sys1.map.n_keyframes()  # frozen
+
+
 def test_localize_against_loaded_map(tmp_path):
     """Fresh System + loaded map + localization mode: the first frame
     relocalizes cold, later frames track, the map stays frozen, and the
