@@ -56,6 +56,29 @@ def test_save_load_roundtrip(tmp_path):
             assert m2.points[pid2].obs.keys() == mp1.obs.keys()
 
 
+def test_resume_mapping_on_loaded_map(tmp_path):
+    """load_map without localization mode: the session relocalizes, keeps
+    tracking, and the MAPPER extends the loaded map (new keyframes
+    triangulated against loaded ones)."""
+    cfg = _cfg()
+    ds = list(SyntheticDataset(cfg, n_frames=90, seed=6))
+    sys1 = System(cfg)
+    for raw in ds[:55]:
+        sys1.process(raw)
+    path = str(tmp_path / "map.npz")
+    sys1.save_map(path)
+    n_kfs = sys1.map.n_keyframes()
+
+    sys2 = System(cfg, kernels=sys1.kernels)
+    sys2.load_map(path)
+    for raw in ds[40:]:
+        sys2.process(raw)
+    rep = sys2.report()
+    assert sys2.tracker.state == tr.OK, (rep, sys2.tracker.last_fail)
+    assert rep["n_lost"] == 0, rep
+    assert sys2.map.n_keyframes() > n_kfs, (sys2.map.n_keyframes(), n_kfs)
+
+
 def test_fleet_localization_server(tmp_path):
     """Build once, serve many: a 2-stream fleet loads one saved map and
     localizes both streams (batched extraction/tracking stages + frozen
