@@ -43,6 +43,15 @@ def main(argv=None) -> int:
                     help="serve the live viewer (frame overlay, map, "
                          "pause/step/reset/localization controls) on this "
                          "HTTP port; 0 picks a free port")
+    ap.add_argument("--save-map", default=None, metavar="PATH",
+                    help="persist the built map (slam/serialize.py) after "
+                         "the run")
+    ap.add_argument("--load-map", default=None, metavar="PATH",
+                    help="start from a saved map (cold-start "
+                         "relocalization instead of two-view init)")
+    ap.add_argument("--localization", action="store_true",
+                    help="tracking-only mode (freeze the map; typically "
+                         "with --load-map)")
     args = ap.parse_args(argv)
 
     from sp_orb_slam_tpu.config import load_config
@@ -85,6 +94,10 @@ def main(argv=None) -> int:
         dataset = make_dataset(cfg)
 
     system = System(cfg, params=params)
+    if args.load_map:
+        system.load_map(args.load_map)
+    if args.localization:
+        system.activate_localization_mode()
     if args.debug_dir:
         system.set_debug_dir(args.debug_dir)
     viewer = None
@@ -96,6 +109,10 @@ def main(argv=None) -> int:
     system.spin(dataset, max_frames=args.max_frames)
     if viewer is not None:
         viewer.close()
+    if args.save_map:
+        parent = os.path.dirname(os.path.abspath(args.save_map))
+        os.makedirs(parent, exist_ok=True)
+        system.save_map(args.save_map)
 
     os.makedirs(args.output, exist_ok=True)
     system.save_trajectory_tum(os.path.join(args.output, "traj.txt"))
