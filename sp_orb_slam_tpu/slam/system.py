@@ -411,8 +411,10 @@ class System:
             self.looper = LoopClosing(self.cfg, self.map, self.kernels,
                                       self.mapper)
             self.mapper.looper = self.looper
+        only_tracking = self.tracker.only_tracking
         self.tracker = Tracking(self.cfg, self.map, self.kernels,
                                 self.mapper)
+        self.tracker.only_tracking = only_tracking
         live = [k for k, kf in self.map.keyframes.items() if not kf.bad]
         if live:
             self.tracker.state = LOST
