@@ -264,9 +264,14 @@ class SyntheticDataset:
         self.desc_noise = desc_noise
 
     def _global_desc(self, i: int) -> np.ndarray:
+        # length scale 3.0: adjacent-KF similarity stays >= ~0.77 within the
+        # covisible window, like real VLAD on consecutive frames — the
+        # detection gate is min-over-covisibles (loop_closer_vlad.cpp:
+        # 150-165), so an unrealistically sharp similarity kernel would
+        # reject genuine revisits that rank below the worst covisible
         Twc = self.poses[i].astype(np.float64)
         yaw = np.arctan2(Twc[0, 2], Twc[0, 0])
-        f = np.concatenate([Twc[:3, 3] / 1.5, [np.cos(yaw), np.sin(yaw)]])
+        f = np.concatenate([Twc[:3, 3] / 3.0, [np.cos(yaw), np.sin(yaw)]])
         g = np.cos(self._rff_w @ f + self._rff_b)
         return (g / np.linalg.norm(g)).astype(np.float32)
 

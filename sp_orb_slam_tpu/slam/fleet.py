@@ -102,8 +102,16 @@ class StreamFleet:
             imgs = np.stack([
                 raws[i].image.astype(np.float32)[:Hc, :Wc] / 255.0
                 for i in img_streams])
+            if len(img_streams) < self.n:
+                # pad to the fixed fleet width (repeat row 0, like
+                # _run_batched): ONE extractor compile regardless of how
+                # many streams are idle this tick, and the stream-mesh
+                # sharding keeps applying
+                pad = np.broadcast_to(imgs[0],
+                                      (self.n - len(imgs),) + imgs[0].shape)
+                imgs = np.concatenate([imgs, pad])
             dev = jnp.asarray(imgs)
-            if self._sharding is not None and len(img_streams) == self.n:
+            if self._sharding is not None:
                 import jax
 
                 dev = jax.device_put(dev, self._sharding)
@@ -173,7 +181,11 @@ class StreamFleet:
             t = self.systems[i].tracker
             if t.state != tr.OK or (t.only_tracking and t.vo_mode):
                 continue
-            p = t.prepare_dust(frame)
+            # same locking as _local_prepass: in online mode the stream's
+            # mapper thread runs concurrently, and prepare_dust walks the
+            # point pool / keyframes
+            with t.map.update_lock:
+                p = t.prepare_dust(frame)
             if p is None:
                 t.staged_dust = (frame, None)
             else:

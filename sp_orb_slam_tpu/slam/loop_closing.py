@@ -100,12 +100,28 @@ class LoopClosing:
             # lock, and loop closure is rare enough that the latency spike
             # does not matter)
             with self.map.update_lock:
+                # pin the current KF (SetNotErase, loop_closer_vlad.cpp's
+                # DetectLoop entry) so the mapper cannot cull it in the
+                # detect -> Sim3 -> correct window where the lock is
+                # dropped; the matched KF is pinned the moment it is known
+                kf.not_erase = True
                 candidates = self._detect(kf)
                 hit = self._compute_sim3(kf, candidates) if candidates else None
+                if hit is not None:
+                    matched = self.map.keyframes.get(hit[0])
+                    if matched is not None:
+                        matched.not_erase = True
             if hit is None:
+                kf.not_erase = False
                 continue
             matched_kf, Scw, matches = hit
-            self._correct_loop(kf, matched_kf, Scw, matches)
+            try:
+                self._correct_loop(kf, matched_kf, Scw, matches)
+            finally:
+                kf.not_erase = False
+                m = self.map.keyframes.get(matched_kf)
+                if m is not None:
+                    m.not_erase = False
 
     # ------------------------------------------------------------ thread drive
 
@@ -146,10 +162,16 @@ class LoopClosing:
     def _detect(self, kf: KeyFrame) -> List[int]:
         lp = self.cfg.loop
         if kf.kf_id < self.last_loop_kf + lp.kf_gap:
+            # too close to the last loop: no detection, but the KF still
+            # enters the place-recognition database (the reference's early
+            # exit still runs mpKeyFrameDB->add; loop_closer_vlad.cpp:132)
+            # so a later revisit of this stretch can be recognized
+            self.db.append(kf.kf_id)
+            self.consistent_groups.clear()
             return []
         connected = set(kf.connections)
         # minScore = min similarity among covisibles, floored (:150-165)
-        min_score = lp.min_score_floor
+        min_score = 1.0
         for kid in connected:
             other = self.map.keyframes.get(kid)
             if other is None or other.bad or other.global_desc is None:
@@ -592,6 +614,14 @@ class LoopClosing:
                 world.add_observation(loop_mp, kf.kf_id, kp_idx)
                 world.compute_distinctive_descriptor(loop_mp)
 
+        # snapshot pre-fusion covisibility BEFORE any cross-loop
+        # observations land: the reference takes vpPreviousNeighbors right
+        # before the per-KF UpdateConnections that follows fusion
+        # (loop_closer_vlad.cpp:641-668), so the diff below isolates the
+        # edges the fusion created
+        prev_neighbors = {kid: set(world.keyframes[kid].ordered_neighbors)
+                          for kid in connected}
+
         # SearchAndFuse: project loop points into every corrected KF (:701-726)
         for kid in corrected:
             kfi = world.keyframes[kid]
@@ -607,15 +637,14 @@ class LoopClosing:
                         world.replace_point(cur_mp, loop_mp)
                 elif cur_pid < 0:
                     world.add_observation(loop_mp, kfi.kf_id, kp_idx)
-            world.update_connections(kfi)
 
         # new cross-loop covisibility links
         loop_connections: Dict[int, Set[int]] = {}
         for kid in connected:
             kfi = world.keyframes[kid]
-            prev = set(kfi.ordered_neighbors)
             world.update_connections(kfi)
-            loop_connections[kid] = (set(kfi.connections) - prev
+            loop_connections[kid] = (set(kfi.connections)
+                                     - prev_neighbors[kid]
                                      - set(connected))
 
         self._essential_graph(kf, matched_kf_id, corrected, non_corrected,

@@ -107,6 +107,13 @@ class KeyFrame:
         self.Tcw = orthonormalized_pose(frame.Tcw)
         self.mp_ids = frame.mp_ids.copy()
         self.bad = False
+        # loop-closing pin (SetNotErase/SetErase, keyframe.cpp): while set,
+        # KF culling skips this keyframe so the detect->Sim3->correct window
+        # cannot lose the current/matched KF to a concurrent mapper cull
+        # (the reference defers the erase via mbToBeErased; here the cull
+        # simply retries on a later pass, which is equivalent for a policy
+        # that re-evaluates redundancy every keyframe)
+        self.not_erase = False
         # covisibility
         self.connections: Dict[int, int] = {}   # kf_id -> weight
         self.ordered_neighbors: List[int] = []  # by weight desc
@@ -324,7 +331,7 @@ class Map:
     def erase_keyframe(self, kf: KeyFrame) -> None:
         """KeyFrame::SetBadFlag (keyframe.cpp): drop observations, detach
         covisibility, re-parent children through best surviving covisibles."""
-        if kf.bad or kf.kf_id == self.kf_origin:
+        if kf.bad or kf.not_erase or kf.kf_id == self.kf_origin:
             return
         for idx, pid in enumerate(kf.mp_ids):
             if pid >= 0:
@@ -366,9 +373,11 @@ class Map:
                 self.keyframes[kf.parent].children.add(c)
         if kf.parent >= 0:
             self.keyframes[kf.parent].children.discard(kf.kf_id)
-        kf.bad = True
+        # Tcp must be readable the moment bad is observable (trajectory
+        # re-chaining walks `while kf.bad: kf.Tcp @ ...`), so assign it first
         kf.Tcp = kf.Tcw @ np.linalg.inv(self.keyframes[kf.parent].Tcw) \
             if kf.parent >= 0 else np.eye(4, dtype=np.float32)
+        kf.bad = True
 
     # -- queries ------------------------------------------------------------
 

@@ -101,29 +101,38 @@ def load_map(path: str, mp_capacity: int = 65536) -> Map:
     world.next_kf_id = int(z["next_kf_id"])
     world.kf_origin = int(z["kf_origin"])
 
-    # keyframes
+    # keyframes (hoist shared members out of the loop: NpzFile.__getitem__
+    # decompresses the whole member on EVERY access, so per-row indexing
+    # inside the loop would be quadratic in map size)
+    kf_frame_ids = z["kf_frame_ids"]
+    kf_timestamps = z["kf_timestamps"]
+    kf_Tcw = z["kf_Tcw"]
+    kf_parent = z["kf_parent"]
+    kf_first_connection = z["kf_first_connection"]
+    files = set(z.files)
     for i, kf_id in enumerate(z["kf_ids"]):
         kf_id = int(kf_id)
         p = f"kf{kf_id}_"
         desc = z[p + "desc"]
+        occ_grid = z[p + "occ_grid"]
         frame = FrameData(
-            frame_id=int(z["kf_frame_ids"][i]),
-            timestamp=float(z["kf_timestamps"][i]),
+            frame_id=int(kf_frame_ids[i]),
+            timestamp=float(kf_timestamps[i]),
             uv=z[p + "uv"], score=z[p + "score"],
             response=z[p + "response"], valid=z[p + "valid"],
-            cov2_inv=z[p + "cov2_inv"], occ_grid=z[p + "occ_grid"],
+            cov2_inv=z[p + "cov2_inv"], occ_grid=occ_grid,
             count=int(z[p + "count"]),
             desc_dev=jnp.asarray(desc),
             dust_dev=jnp.asarray(z[p + "dust"]),
-            occ_grid_dev=jnp.asarray(z[p + "occ_grid"]),
-            global_desc=z[p + "gd"] if (p + "gd") in z.files else None,
+            occ_grid_dev=jnp.asarray(occ_grid),
+            global_desc=z[p + "gd"] if (p + "gd") in files else None,
         )
         frame._desc_host = desc
-        frame.Tcw = z["kf_Tcw"][i]
+        frame.Tcw = kf_Tcw[i]
         kf = KeyFrame(kf_id, frame)
-        kf.Tcw = z["kf_Tcw"][i]
-        kf.parent = int(z["kf_parent"][i])
-        kf.first_connection = bool(z["kf_first_connection"][i])
+        kf.Tcw = kf_Tcw[i]
+        kf.parent = int(kf_parent[i])
+        kf.first_connection = bool(kf_first_connection[i])
         kf.mp_ids = z[p + "mp_ids"].copy()
         world.keyframes[kf_id] = kf
     for kf_id, other, w in z["kf_edges"]:
@@ -143,13 +152,14 @@ def load_map(path: str, mp_capacity: int = 65536) -> Map:
     # map points (fresh pool slots; remap old pid -> new pid)
     remap: Dict[int, int] = {}
     scalars = z["mp_scalars"]
+    names = ("pos", "desc", "desc_track", "normal", "min_dist", "max_dist")
+    mp_arrays = {name: z[f"mp_{name}"] for name in names}
     for row, old_pid in enumerate(z["mp_pid"]):
         old_pid = int(old_pid)
         pid = world.pool.alloc()
         remap[old_pid] = pid
-        for name in ("pos", "desc", "desc_track", "normal", "min_dist",
-                     "max_dist"):
-            getattr(world.pool, name)[pid] = z[f"mp_{name}"][row]
+        for name in names:
+            getattr(world.pool, name)[pid] = mp_arrays[name][row]
         _, first_kf, ref_kf, n_vis, n_found = scalars[row]
         mp = MapPoint(pid=pid, first_kf=int(first_kf), ref_kf=int(ref_kf),
                       n_visible=int(n_vis), n_found=int(n_found))

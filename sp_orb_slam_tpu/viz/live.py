@@ -176,9 +176,11 @@ class LiveViewer:
         from sp_orb_slam_tpu.viz.map_drawer import draw_map
 
         buf = io.BytesIO()
-        _, poses = self.system.trajectory()
-        traj = poses[:, :3, 3] if len(poses) else None
         with self.system.map.update_lock:
+            # trajectory() walks culled-KF parent chains (kf.Tcp); reading
+            # it outside the lock races erase_keyframe mid-surgery
+            _, poses = self.system.trajectory()
+            traj = poses[:, :3, 3] if len(poses) else None
             draw_map(self.system.map, buf,
                      current_kf=self.system.tracker.ref_kf,
                      trajectory=traj, fmt="png")

@@ -61,6 +61,15 @@ def build_drifted_loop_map(cfg, world, n_frames=34, n_revisit=6):
 
     ds = SyntheticDataset(cfg, n_frames=n_frames, n_points=9000, seed=2,
                           pixel_noise=0.1, loop=True)
+    # make the revisit segment an exact second lap of the first frames:
+    # the detection gate is min-similarity-over-covisibles (correct
+    # reference semantics, loop_closer_vlad.cpp:150-165), and temporal
+    # consistency needs >= consistency_th consecutive gate-passing frames
+    # whose candidate groups overlap — a single-wrap circle only grazes
+    # the start for ~3 frames, which is one short of closing
+    from sp_orb_slam_tpu.io.dataset import _loop_trajectory
+    base = _loop_trajectory(n_frames - n_revisit)
+    ds.poses = np.concatenate([base, base[:n_revisit]])
     first_seen = {}   # scene id -> mp
     revisit_seen = {}  # duplicates for the revisit segment
     kfs = []
