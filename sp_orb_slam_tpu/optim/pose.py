@@ -46,7 +46,8 @@ def _proj_jacobian(pc: jnp.ndarray, fx, fy):
     (of the *projection*; residual obs - proj negates it).
     """
     x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
-    invz = 1.0 / z
+    zsafe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)  # see _reproj_chi2
+    invz = 1.0 / zsafe
     invz2 = invz * invz
     zeros = jnp.zeros_like(x)
     # d proj / d pc
@@ -69,8 +70,14 @@ class PoseOptResult(NamedTuple):
 def _reproj_chi2(Tcw, Xw, obs, w_info, K):
     fx, fy, cx, cy = K
     pc = Xw @ Tcw[:3, :3].T + Tcw[:3, 3]
-    u = fx * pc[:, 0] / pc[:, 2] + cx
-    v = fy * pc[:, 1] / pc[:, 2] + cy
+    # sign-preserving depth clamp (like ba.py zsafe): a multi-start
+    # relocalization fan can put points exactly on the camera plane, and
+    # z == 0 would NaN-poison the cost (every LM step rejected) and the
+    # chi2 gate (NaN > gate is False -> counted as inlier)
+    z = pc[:, 2]
+    zsafe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = fx * pc[:, 0] / zsafe + cx
+    v = fy * pc[:, 1] / zsafe + cy
     r = obs - jnp.stack([u, v], axis=-1)
     return jnp.sum(r * r * w_info, axis=-1), r, pc
 

@@ -51,15 +51,18 @@ def _assemble_ba(world: Map, kf_ids: List[int], fixed_ids: List[int],
     obs_valid = np.zeros(O, bool)
     obs_ref = []  # (kf_id, pid) per slot, for erasure write-back
     o = 0
-    dropped = 0
+    dropped = 0  # points excluded to avoid partial constraints
+    partial: List[int] = []
     for p, pi in pt_index.items():
         mp = world.points[p]
+        start = o
+        overflow = False
         for kf_id, idx in mp.obs.items():
             ci = kf_index.get(kf_id)
             if ci is None:
-                continue
+                continue  # observer outside the problem (boundary cap)
             if o >= O:
-                dropped += 1
+                overflow = True
                 continue
             kf = world.keyframes[kf_id]
             obs_cam[o] = ci
@@ -69,11 +72,29 @@ def _assemble_ba(world: Map, kf_ids: List[int], fixed_ids: List[int],
             obs_valid[o] = True
             obs_ref.append((kf_id, p))
             o += 1
+        if overflow or (o - start) < 2:
+            # A point optimized against a SUBSET of its in-problem
+            # observations slides to fit only those views and the
+            # write-back commits the bias (the corruption the
+            # assemble_global_ba docstring warns about); < 2 edges is
+            # unconstrained along the ray.  Exclude the point entirely:
+            # its packed edges go inert and the write-back skips it.
+            obs_valid[start:o] = False
+            pt_valid[pi] = False
+            partial.append(p)
+            dropped += 1
+    for p in partial:
+        del pt_index[p]
     return (poses, fixed, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
             obs_valid, kf_index, pt_index, obs_ref, dropped)
 
 
-def _writeback_ba(world: Map, res, kf_index, pt_index, obs_ref, fixed):
+def _writeback_ba(world: Map, res, kf_index, pt_index, obs_ref, fixed,
+                  pt_obj):
+    """`pt_obj` (pid -> MapPoint captured at assemble time) guards against
+    pool-slot reuse during the out-of-lock solve: a pid culled and
+    re-allocated mid-solve resolves to a DIFFERENT live point, which a
+    bad-flag check alone cannot detect."""
     world.ba_epoch += 1
     poses = np.asarray(res.poses)
     points = np.asarray(res.points)
@@ -82,14 +103,14 @@ def _writeback_ba(world: Map, res, kf_index, pt_index, obs_ref, fixed):
             world.keyframes[k].set_pose(poses[i])
     for p, i in pt_index.items():
         mp = world.points.get(p)
-        if mp is not None and not mp.bad:
+        if mp is not None and mp is pt_obj[p] and not mp.bad:
             world.pool.pos[p] = points[i]
             world.update_normal_and_depth(mp)
     bad = np.asarray(res.bad_obs)
     for o, (kf_id, p) in enumerate(obs_ref):
         if bad[o]:
             mp = world.points.get(p)
-            if mp is not None and not mp.bad:
+            if mp is not None and mp is pt_obj[p] and not mp.bad:
                 world.erase_observation(mp, kf_id)
 
 
@@ -119,7 +140,8 @@ def assemble_global_ba(world: Map, caps=None) -> dict:
     obs_w[:] = 1.0  # optimizer.cpp:131-132 uses pyramid sigma (= 1), not cov
     return dict(poses=poses, fixed=fixed, points=points, pt_valid=pt_valid,
                 obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv, obs_w=obs_w,
-                obs_valid=obs_valid, kf_index=kf_index, pt_index=pt_index)
+                obs_valid=obs_valid, kf_index=kf_index, pt_index=pt_index,
+                pt_obj={p: world.points[p] for p in pt_index})
 
 
 def solve_global_ba(problem: dict, kernels: TrackingKernels, iters: int = 20):
@@ -144,9 +166,10 @@ def apply_global_ba_direct(world: Map, problem: dict, res) -> None:
     for k, i in problem["kf_index"].items():
         if not fixed[i]:
             world.keyframes[k].set_pose(poses_np[i])
+    pt_obj = problem["pt_obj"]
     for p, i in problem["pt_index"].items():
         mp = world.points.get(p)
-        if mp is not None and not mp.bad:
+        if mp is not None and mp is pt_obj[p] and not mp.bad:
             world.pool.pos[p] = points_np[i]
 
 
@@ -203,11 +226,15 @@ def apply_global_ba_staged(world: Map, problem: dict, res,
     # points: participants take the solved position; points born during the
     # solve re-project through their reference keyframe's pose pair
     pt_index = problem["pt_index"]
+    pt_obj = problem["pt_obj"]
     for p, mp in list(world.points.items()):
         if mp.bad:
             continue
         i = pt_index.get(p)
-        if i is not None:
+        # identity check: a pool slot culled + re-allocated DURING the solve
+        # holds a different point now — it takes the born-during-GBA
+        # re-projection path below, not the stale solved position
+        if i is not None and pt_obj.get(p) is mp:
             world.pool.pos[p] = points_np[i]
             world.update_normal_and_depth(mp)
             continue
@@ -569,16 +596,7 @@ class LocalMapping:
         df.n_promoted += 1
 
     def _scene_median_depth(self, kf: KeyFrame) -> float:
-        zs = []
-        R2 = kf.Tcw[2, :3]
-        t2 = kf.Tcw[2, 3]
-        for pid in kf.mp_ids:
-            if pid >= 0:
-                zs.append(float(R2 @ self.map.pool.pos[pid] + t2))
-        if not zs:
-            return -1.0
-        zs.sort()
-        return zs[(len(zs) - 1) // 2]
+        return self.map.scene_median_depth(kf)
 
     def search_in_neighbors(self, kf: KeyFrame) -> None:
         """SearchInNeighbors (local_mapper.cpp:816-904)."""
@@ -705,10 +723,12 @@ class LocalMapping:
         try:
             with self.map.update_lock:
                 packed = _assemble_ba(self.map, local, fixed, pids, caps)
+                (poses, fixd, points, pt_valid, obs_cam, obs_pt, obs_uv,
+                 obs_w, obs_valid, kf_index, pt_index, obs_ref,
+                 dropped) = packed
+                pt_obj = {p: self.map.points[p] for p in pt_index}
         except ValueError:
             return
-        (poses, fixd, points, pt_valid, obs_cam, obs_pt, obs_uv, obs_w,
-         obs_valid, kf_index, pt_index, obs_ref, dropped) = packed
         # The device solve runs with the map lock RELEASED so online tracking
         # is never blocked behind BA; mbAbortBA semantics (optimizer.cpp:
         # 510-511,660-671): if a new keyframe interrupted the solve, discard
@@ -720,7 +740,8 @@ class LocalMapping:
         if self.abort_ba:
             return
         with self.map.update_lock:
-            _writeback_ba(self.map, res, kf_index, pt_index, obs_ref, fixd)
+            _writeback_ba(self.map, res, kf_index, pt_index, obs_ref, fixd,
+                          pt_obj)
 
     def _redundancy(self, ckf: KeyFrame, *, strict: bool = False):
         """(ratio, n_mp): share of this KF's tracked points observed by

@@ -37,6 +37,14 @@ import numpy as np
 from sp_orb_slam_tpu.slam.frame import FrameData, orthonormalized_pose
 
 COVIS_TH = 15  # keyframe.cpp:805
+# Pool slots of dead points are quarantined for this many tracked frames
+# before reuse.  The reference leaks dead MapPoints (raw pointers stay
+# valid forever); with a slot pool, immediate reuse would let stale pid
+# holders (the tracker's last-frame bindings, a loop-closing candidate
+# window) silently resolve to an unrelated new point.  Holders are all
+# refreshed within a frame or two; 4 gives margin.  Longer-lived snapshots
+# (local/global BA solves) are protected by identity checks instead.
+GRAVEYARD_EPOCHS = 4
 
 
 class MapPointPool:
@@ -171,8 +179,31 @@ class Map:
         # optional FrameData -> (D,) global-descriptor callable (see
         # add_keyframe); None = descriptors come from the dataset only
         self.global_desc_fn = None
+        # deferred pool reclamation (see GRAVEYARD_EPOCHS): (epoch, pid)
+        # of retired points, flushed by advance_epoch()
+        self.frame_epoch = 0
+        self._graveyard: List[tuple] = []
 
     # -- map points ---------------------------------------------------------
+
+    def _retire(self, pid: int) -> None:
+        """Quarantine a dead point's pool slot instead of freeing it: the
+        slot (and its tombstone in self.points, needed for replaced_by
+        chain resolution) survives GRAVEYARD_EPOCHS tracked frames so any
+        stale pid holder observes bad/replaced instead of a reused slot."""
+        self._graveyard.append((self.frame_epoch, pid))
+
+    def advance_epoch(self) -> None:
+        """Per tracked frame (called by the tracker under update_lock):
+        release quarantined slots older than GRAVEYARD_EPOCHS."""
+        self.frame_epoch += 1
+        cutoff = self.frame_epoch - GRAVEYARD_EPOCHS
+        while self._graveyard and self._graveyard[0][0] <= cutoff:
+            _, pid = self._graveyard.pop(0)
+            mp = self.points.get(pid)
+            if mp is not None and (mp.bad or mp.replaced_by >= 0):
+                del self.points[pid]
+            self.pool.release(pid)
 
     def create_point(self, pos: np.ndarray, ref_kf: int) -> MapPoint:
         pid = self.pool.alloc()
@@ -214,7 +245,7 @@ class Map:
             if kf is not None and kf.mp_ids[idx] == mp.pid:
                 kf.mp_ids[idx] = -1
         mp.obs.clear()
-        self.pool.release(mp.pid)
+        self._retire(mp.pid)
 
     def replace_point(self, mp: MapPoint, rep: MapPoint) -> None:
         """MapPoint::Replace (mappoint.cpp): move observations to `rep`."""
@@ -236,7 +267,7 @@ class Map:
         rep.n_found += mp.n_found
         rep.n_visible += mp.n_visible
         self.compute_distinctive_descriptor(rep)
-        self.pool.release(mp.pid)
+        self._retire(mp.pid)
 
     def compute_distinctive_descriptor(self, mp: MapPoint) -> None:
         """mappoint.cpp:237-300 — min-median-distance observation desc."""
@@ -379,13 +410,31 @@ class Map:
             if kf.parent >= 0 else np.eye(4, dtype=np.float32)
         kf.bad = True
 
+    def scene_median_depth(self, kf: "KeyFrame") -> float:
+        """KeyFrame::ComputeSceneMedianDepth(2) (keyframe.cpp): median
+        camera-frame depth of the KF's bound points (-1 if none)."""
+        zs = []
+        R2 = kf.Tcw[2, :3]
+        t2 = kf.Tcw[2, 3]
+        for pid in kf.mp_ids:
+            if pid >= 0:
+                zs.append(float(R2 @ self.pool.pos[pid] + t2))
+        if not zs:
+            return -1.0
+        zs.sort()
+        return zs[(len(zs) - 1) // 2]
+
     # -- queries ------------------------------------------------------------
 
     def n_keyframes(self) -> int:
         return sum(1 for k in self.keyframes.values() if not k.bad)
 
     def n_points(self) -> int:
-        return int(self.pool.alive.sum())
+        # count live MapPoints, not pool.alive: retired slots stay alive
+        # until the graveyard flush (GRAVEYARD_EPOCHS) and must not read
+        # as map content
+        return sum(1 for mp in self.points.values()
+                   if not mp.bad and mp.replaced_by < 0)
 
     def tracked_in_common(self, kf: KeyFrame, current_pids: set):
         """KeyFrame::getTrackedInCommon (keyframe.cpp:697-724): of this KF's
@@ -407,7 +456,12 @@ class Map:
         # System-installed hooks must survive a reset: losing global_desc_fn
         # here would leave every post-reset keyframe without a global
         # descriptor, silently disabling loop closing for the rest of the
-        # run (System.reset never rewires it).
+        # run (System.reset never rewires it).  The lock object must survive
+        # too: clear() runs while HOLDING update_lock, and replacing it
+        # would let a concurrent looper/GBA thread acquire the fresh lock
+        # mid-clear and operate on a half-cleared map.
         hook = self.global_desc_fn
+        lock = self.update_lock
         self.__init__(self.pool.capacity)
         self.global_desc_fn = hook
+        self.update_lock = lock

@@ -44,6 +44,32 @@ def _rotmat_to_quat(R: np.ndarray) -> np.ndarray:
     return q
 
 
+def rechain_trajectory(world, rel_poses, refs, times):
+    """Absolute Twc per tracked frame from (Tcr, ref KF) records, re-chained
+    through surviving spanning-tree ancestors (SaveTrajectoryTUM,
+    system_helper.cpp:89-158).  Tcw_frame = Tcr · Tcp_r · Tcp_p · ... ·
+    Tcw_ancestor — each culled hop RIGHT-multiplies (Trw = Trw*mTcp, then
+    Trw*Tcw, :138-147), since Tcp = Tcw_child · Tcw_parent^-1."""
+    ts, poses = [], []
+    for rel, ref_id, t in zip(rel_poses, refs, times):
+        kf = world.keyframes.get(ref_id)
+        if kf is None:
+            continue
+        Trw = np.eye(4, dtype=np.float32)
+        while kf.bad:
+            Trw = Trw @ kf.Tcp
+            kf = world.keyframes.get(kf.parent)
+            if kf is None:
+                break
+        if kf is None:
+            continue
+        Trw = Trw @ kf.Tcw
+        Tcw = rel @ Trw
+        ts.append(t)
+        poses.append(np.linalg.inv(Tcw))
+    return np.asarray(ts), np.asarray(poses)
+
+
 def build_preprocess(cfg: Config):
     """On-device rectification when the raw stream is distorted (the
     reference pre-rectifies EuRoC with initUndistortRectifyMap + remap,
@@ -359,6 +385,18 @@ class System:
     def reset(self) -> None:
         """System::resetSystem (system_helper.cpp:12-52)."""
         online = self.mapper._thread is not None
+        if self.looper is not None:
+            # LoopClosing::RequestReset equivalent: drop queued KFs, the
+            # place-recognition database, consistency state, and any
+            # in-flight transient GBA before its result could land on the
+            # cleared map.  Join the GBA FIRST: its commit path drives its
+            # own mapper stop/release cycle, which would unfreeze a mapper
+            # we stopped below.
+            self.looper._stop_gba()
+            self.looper.queue.clear()
+            self.looper.db.clear()
+            self.looper.consistent_groups.clear()
+            self.looper.last_loop_kf = -10 ** 9
         if online:  # freeze the mapping thread before clearing under it
             self.mapper.request_stop()
             self.mapper.wait_until_stopped()
@@ -367,8 +405,10 @@ class System:
             self.mapper.queue.clear()
             self.mapper.recent_pids.clear()
             tr = self.tracker
+            only_tracking = tr.only_tracking
             self.tracker = Tracking(self.cfg, self.map, self.kernels,
                                     self.mapper)
+            self.tracker.only_tracking = only_tracking
             self.tracker.rel_poses = tr.rel_poses
             self.tracker.refs = tr.refs
             self.tracker.times = tr.times
@@ -427,27 +467,8 @@ class System:
     def trajectory(self):
         """Absolute Twc per tracked frame, re-chained through surviving
         spanning-tree ancestors (system_helper.cpp:89-158)."""
-        ts, poses = [], []
         tr = self.tracker
-        for rel, ref_id, t, lost in zip(tr.rel_poses, tr.refs, tr.times,
-                                        tr.lost_flags):
-            kf = self.map.keyframes.get(ref_id)
-            if kf is None:
-                continue
-            Trw = np.eye(4, dtype=np.float32)
-            while kf.bad:
-                Trw = kf.Tcp @ Trw
-                kf = self.map.keyframes.get(kf.parent)
-                if kf is None:
-                    break
-            if kf is None:
-                continue
-            Trw = kf.Tcw @ Trw
-            Tcw = rel @ Trw
-            Twc = np.linalg.inv(Tcw)
-            ts.append(t)
-            poses.append(Twc)
-        return np.asarray(ts), np.asarray(poses)
+        return rechain_trajectory(self.map, tr.rel_poses, tr.refs, tr.times)
 
     def save_trajectory_tum(self, path: str) -> None:
         """SaveTrajectoryTUM (system_helper.cpp:89-158)."""

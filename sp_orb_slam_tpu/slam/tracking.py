@@ -86,6 +86,7 @@ class Tracking:
         # whole-frame map-update critical section (tracker.cpp:189): in
         # online mode this serializes against the mapping thread's stages
         with self.map.update_lock:
+            self.map.advance_epoch()  # flush point-pool graveyard (map.py)
             if self.state == NO_IMAGES_YET:
                 self.state = NOT_INITIALIZED
             if self.state == NOT_INITIALIZED:
@@ -108,6 +109,7 @@ class Tracking:
         """Fleet phase 1: initialization or the coarse cascade; stages the
         (ok, was_lost) pair for track_frame_fine."""
         with self.map.update_lock:
+            self.map.advance_epoch()  # flush point-pool graveyard (map.py)
             if self.state == NO_IMAGES_YET:
                 self.state = NOT_INITIALIZED
             if self.state == NOT_INITIALIZED:
@@ -242,17 +244,7 @@ class Tracking:
         self.state = OK
 
     def _scene_median_depth(self, kf) -> float:
-        """KeyFrame::ComputeSceneMedianDepth(2)."""
-        zs = []
-        R2 = kf.Tcw[2, :3]
-        t2 = kf.Tcw[2, 3]
-        for pid in kf.mp_ids:
-            if pid >= 0:
-                zs.append(float(R2 @ self.map.pool.pos[pid] + t2))
-        if not zs:
-            return -1.0
-        zs.sort()
-        return zs[(len(zs) - 1) // 2]
+        return self.map.scene_median_depth(kf)
 
     # ----------------------------------------------------------------- track
 
@@ -827,12 +819,16 @@ class Tracking:
             else:
                 out = self.k.local_map_track(*prep["args"])
         pids, n, args = prep["pids"], prep["n"], prep["args"]
-        if int(out["n_inlier"]) <= self.cfg.tracking.map.th_ninlier_high:
+        if (int(out["n_inlier"]) <= self.cfg.tracking.map.th_ninlier_high
+                and not prep["wide"]):
             # Starvation retry at the widened window (see
             # local_map_track_wide): local-BA depth slides on low-parallax
             # points routinely exceed the 4 px window early in a map's
             # life, and a starved frame forfeits exactly the constraints
             # BA needs to stop sliding.  Keep whichever result binds more.
+            # (Skipped when the primary call was already the wide variant —
+            # identical args would re-dispatch the same kernel for the
+            # same result.)
             wide = self.k.local_map_track_wide(*args)
             if int(wide["n_inlier"]) > int(out["n_inlier"]):
                 out = wide
@@ -877,17 +873,21 @@ class Tracking:
                 *args[9:])
             if int(ms["n_inlier"]) > int(out["n_inlier"]):
                 out = ms
-        # visible bookkeeping (IncreaseVisible on frustum hits, :798-804)
-        for li in np.nonzero(out["mp_visible"][:n])[0]:
+        # visible bookkeeping (IncreaseVisible on frustum hits, :798-804).
+        # Already-bound points (args[7] = the prep-time skip mask) were
+        # counted by prepare_local_map; the retry paths zero the skip mask,
+        # so without the exclusion a retry frame would credit them twice
+        # and drag found_ratio toward the 0.25 culling gate.
+        for li in np.nonzero(out["mp_visible"][:n] & ~args[7][:n])[0]:
             mp = self.map.points.get(pids[li])
             if mp is not None:
                 mp.n_visible += 1
 
         kp2mp = out["kp2mp"]
-        bound = kp2mp >= 0
+        bound = (kp2mp >= 0) & (kp2mp < n)  # n == 0 -> nothing bindable
         frame.mp_ids[:] = -1
-        frame.mp_ids[bound] = np.asarray(pids + [0], np.int64)[
-            np.clip(kp2mp[bound], 0, max(n - 1, 0))]
+        if n:
+            frame.mp_ids[bound] = np.asarray(pids, np.int64)[kp2mp[bound]]
         frame.outlier[:] = False
         frame.outlier[bound & ~out["inlier"]] = True
         frame.set_pose(out["Tcw"])
