@@ -138,8 +138,6 @@ def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
     occ = jnp.asarray(rng.integers(-1, K, (hc, wc)).astype(np.int32))
     ones_d = np.ones(P_dust, bool)
     mp_normal = np.tile(np.array([0, 0, -1.0], np.float32), (P_loc, 1))
-    dmin = np.full(P_loc, 1.0, np.float32)
-    dmax = np.full(P_loc, 50.0, np.float32)
     ones_l = np.ones(P_loc, bool)
     zeros_l = np.zeros(P_loc, bool)
     kp2mp0 = np.full(K, -1, np.int32)
@@ -149,7 +147,7 @@ def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
                             kp_uv, kp_cov, kp_valid)
 
     def run_local():
-        return k.local_map_track(Tcw, pos_l, desc_l, mp_normal, dmin, dmax,
+        return k.local_map_track(Tcw, pos_l, desc_l, mp_normal,
                                  ones_l, zeros_l, kp2mp0, kp_desc, kp_uv,
                                  kp_cov, kp_valid)
 

@@ -50,55 +50,39 @@ def _normalize(uv: jnp.ndarray, valid: jnp.ndarray):
     return norm_uv, T
 
 
-def _h_dlt(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
-    """H21 from 8 normalized correspondences (ComputeH21 DLT)."""
+def _h_dlt(p1: jnp.ndarray, p2: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """H21 DLT from normalized correspondences; optional row mask zeroes
+    non-inlier rows (the all-inlier refit path)."""
     u1, v1 = p1[:, 0], p1[:, 1]
     u2, v2 = p2[:, 0], p2[:, 1]
     z = jnp.zeros_like(u1)
     o = jnp.ones_like(u1)
     r1 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
     r2 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=-1)
+    if mask is not None:
+        m = mask.astype(p1.dtype)[:, None]
+        r1 = r1 * m
+        r2 = r2 * m
     A = jnp.concatenate([r1, r2], axis=0)
-    _, _, vt = jnp.linalg.svd(A)
-    return vt[8].reshape(3, 3)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    return vt[-1].reshape(3, 3)
 
 
-def _f_8point(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
-    """F21 from 8 normalized correspondences + rank-2 projection."""
+def _f_8point(p1: jnp.ndarray, p2: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """F21 from normalized correspondences + rank-2 projection; optional
+    row mask zeroes non-inlier rows (the all-inlier refit path)."""
     u1, v1 = p1[:, 0], p1[:, 1]
     u2, v2 = p2[:, 0], p2[:, 1]
     o = jnp.ones_like(u1)
     A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, o],
                   axis=-1)
-    _, _, vt = jnp.linalg.svd(A)
-    Fpre = vt[8].reshape(3, 3)
-    u, w, vt2 = jnp.linalg.svd(Fpre)
-    w = w.at[2].set(0.0)
-    return (u * w[None, :]) @ vt2
-
-
-def _h_dlt_masked(p1, p2, mask):
-    """All-inlier homography DLT (rows of non-inliers zeroed)."""
-    u1, v1 = p1[:, 0], p1[:, 1]
-    u2, v2 = p2[:, 0], p2[:, 1]
-    z = jnp.zeros_like(u1)
-    o = jnp.ones_like(u1)
-    r1 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
-    r2 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=-1)
-    m = mask.astype(p1.dtype)[:, None]
-    A = jnp.concatenate([r1 * m, r2 * m], axis=0)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
-    return vt[-1].reshape(3, 3)
-
-
-def _f_8point_masked(p1, p2, mask):
-    """All-inlier fundamental estimate + rank-2 projection."""
-    u1, v1 = p1[:, 0], p1[:, 1]
-    u2, v2 = p2[:, 0], p2[:, 1]
-    o = jnp.ones_like(u1)
-    A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, o],
-                  axis=-1) * mask.astype(p1.dtype)[:, None]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    if mask is not None:
+        A = A * mask.astype(p1.dtype)[:, None]
+        _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    else:
+        # minimal case: A is (8, 9) — the null vector exists only in the
+        # FULL right singular basis (reduced SVD returns 8 rows of vt)
+        _, _, vt = jnp.linalg.svd(A)
     Fpre = vt[-1].reshape(3, 3)
     u, w, vt2 = jnp.linalg.svd(Fpre)
     w = w.at[2].set(0.0)
@@ -298,17 +282,30 @@ def initialize(uv1: jnp.ndarray, uv2: jnp.ndarray, valid: jnp.ndarray,
     f_scores, Fs = jax.vmap(one_f)(sets)
     H21 = Hs[jnp.argmax(h_scores)]
     F21 = Fs[jnp.argmax(f_scores)]
-    _, h_in0 = _score_h(H21, uv1, uv2, valid)
-    _, f_in0 = _score_f(F21, uv1, uv2, valid)
+    SH0, h_in0 = _score_h(H21, uv1, uv2, valid)
+    SF0, f_in0 = _score_f(F21, uv1, uv2, valid)
 
     # Improvement over the reference: re-estimate each model from *all*
     # inliers of its best hypothesis (weighted DLT via the validity mask)
     # before scoring/model selection — markedly tightens the pre-BA
-    # reconstruction under pixel noise.
-    H21 = T2inv @ _h_dlt_masked(nuv1, nuv2, h_in0) @ T1
-    F21 = T2.T @ _f_8point_masked(nuv1, nuv2, f_in0) @ T1
-    SH, h_inliers = _score_h(H21, uv1, uv2, valid)
-    SF, f_inliers = _score_f(F21, uv1, uv2, valid)
+    # reconstruction under pixel noise.  Guard against a DEGENERATE refit:
+    # with < 8 effective inliers (or clustered ones) the masked DLT is
+    # rank-deficient and returns an arbitrary null-space model, whose score
+    # craters — fall back to the RANSAC winner then.  (A small score dip is
+    # tolerated: the all-inlier refit is better conditioned geometrically
+    # even when the inlier-margin score slips slightly.)
+    H21r = T2inv @ _h_dlt(nuv1, nuv2, h_in0) @ T1
+    F21r = T2.T @ _f_8point(nuv1, nuv2, f_in0) @ T1
+    SHr, h_inr = _score_h(H21r, uv1, uv2, valid)
+    SFr, f_inr = _score_f(F21r, uv1, uv2, valid)
+    use_hr = SHr >= 0.5 * SH0
+    use_fr = SFr >= 0.5 * SF0
+    H21 = jnp.where(use_hr, H21r, H21)
+    SH = jnp.where(use_hr, SHr, SH0)
+    h_inliers = jnp.where(use_hr, h_inr, h_in0)
+    F21 = jnp.where(use_fr, F21r, F21)
+    SF = jnp.where(use_fr, SFr, SF0)
+    f_inliers = jnp.where(use_fr, f_inr, f_in0)
 
     use_h = SH / jnp.maximum(SH + SF, 1e-9) > 0.40
     th2 = 4.0 * sigma * sigma

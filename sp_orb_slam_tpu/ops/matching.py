@@ -105,7 +105,7 @@ class InitMatches(NamedTuple):
     n_matches: jnp.ndarray
 
 
-def search_for_initialization(desc1, uv1, valid1, prev_uv, desc2, uv2, valid2,
+def search_for_initialization(desc1, valid1, prev_uv, desc2, uv2, valid2,
                               *, window: int = 100, ratio: float = 0.9) -> InitMatches:
     """SearchForInitialization (sp_matcher.cpp:666-734): windowed best+second
     with ratio test at TH_LOW, mutual uniqueness."""
@@ -128,9 +128,10 @@ def search_by_projection_points(mp_desc, mp_proj_uv, mp_view_cos, mp_valid,
     map point are candidates (`kp_free`).  Accept best distance <= th_dist,
     else the adaptive gate 1.2 * c2 / (c2 + duv) (:416-427).
 
-    Returns (match (P,) kp index or -1).  Duplicate keypoint claims resolve
-    by min distance (the reference processes points sequentially,
-    first-come-first-served; order-independent resolution here).
+    Returns (match (P,) kp index or -1, match21 (K,) point index or -1 —
+    the exact inverse, saving callers a second resolve pass).  Duplicate
+    keypoint claims resolve by min distance (the reference processes points
+    sequentially, first-come-first-served; order-independent here).
     """
     radius = jnp.where(mp_view_cos > 0.998, 2.5, 4.0) * th
     du = kp_uv[None, :, 0] - mp_proj_uv[:, None, 0]
@@ -146,8 +147,7 @@ def search_by_projection_points(mp_desc, mp_proj_uv, mp_view_cos, mp_valid,
     else:
         fallback = best < 0.7
     row_ok = mp_valid & (best < BIG) & ((best <= th_dist) | fallback)
-    match, _ = resolve_mutual(idx, best, row_ok, kp_desc.shape[0])
-    return match
+    return resolve_mutual(idx, best, row_ok, kp_desc.shape[0])
 
 
 def search_by_projection_frame(mp_desc, mp_proj_uv, mp_depth_ok, mp_valid,
@@ -163,8 +163,7 @@ def search_by_projection_frame(mp_desc, mp_proj_uv, mp_depth_ok, mp_valid,
     dist = pairwise_dist(mp_desc, kp_desc)
     best, idx, _ = masked_best2(dist, mask)
     row_ok = ok & (best <= TH_HIGH)
-    match, _ = resolve_mutual(idx, best, row_ok, kp_desc.shape[0])
-    return match
+    return resolve_mutual(idx, best, row_ok, kp_desc.shape[0])
 
 
 def search_by_brute_force(mp_desc, mp_valid, kp_desc, kp_valid):
@@ -342,10 +341,12 @@ def search_by_sim3(mp1_pos_c1, mp1_valid, mp1_desc, mp1_dmin, mp1_dmax,
 
 
 def fuse_candidates(mp_desc, mp_proj_uv, mp_valid, kp_desc, kp_uv, kp_valid,
-                    cov2_inv, *, radius: float):
+                    *, radius: float):
     """TPU part of SPMatcher::Fuse (sp_matcher.cpp:965-1104): per map point,
     the best keypoint within `radius` passing the chi^2 reprojection gate
-    (e2 <= 5.99 with unit sigma in the single-level pyramid) and TH_LOW.
+    (e2 * mvInvLevelSigma2 <= 5.99, sp_matcher.cpp:1105-1107 — the PYRAMID
+    sigma, which is 1 in the single-level SP pyramid, not the learned
+    cov2_inv) and TH_LOW.
 
     Returns (best_idx (P,) or -1, best_dist (P,)); the host applies the
     replace-vs-add-observation graph surgery.

@@ -341,7 +341,6 @@ def optimize_pose_graph(xi_nodes, fixed, edge_i, edge_j, edge_meas,
         H, b = system(x)
         free = (~fixed).astype(jnp.float32)
         Hm = (H * free[:, None, None, None] * free[None, None, :, None]).reshape(N * 7, N * 7)
-        idx = jnp.arange(N * 7)
         diag_fix = jnp.repeat(fixed.astype(jnp.float32), 7)
         Hm = Hm + jnp.diag(diag_fix)
         bm = (b * free[:, None]).reshape(-1)

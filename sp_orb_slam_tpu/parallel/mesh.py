@@ -55,7 +55,7 @@ def multi_stream_step(params, images, prev_desc, prev_uv, prev_valid,
 
     def match_one(desc, uv, valid, pdesc, puv, pvalid):
         m = matching.search_for_initialization(
-            pdesc, puv, pvalid, puv, desc, uv, valid, window=100, ratio=0.9)
+            pdesc, pvalid, puv, desc, uv, valid, window=100, ratio=0.9)
         return m.match12, m.n_matches
 
     match12, n_matches = jax.vmap(match_one)(

@@ -178,14 +178,11 @@ def motion_track_body(Tcw_pred, mp_pos, mp_desc_track, mp_valid, kp_desc,
             mp_desc_track, proj, depth_ok, mp_valid, kp_desc, kp_uv,
             kp_valid, jnp.ones_like(kp_valid), radius=rad, bounds=bounds)
 
-    m1 = run(radius)
+    m1, inv1 = run(radius)
     n1 = jnp.sum((m1 >= 0).astype(jnp.int32))
-    m2 = run(2.0 * radius)
-    match = jnp.where(n1 < n_retry_th, m2, m1)  # widen window when thin
-    # invert: per-keypoint map-point index
-    _, kp2mp = matching.resolve_mutual(
-        jnp.clip(match, 0, None),
-        jnp.zeros(match.shape, jnp.float32), match >= 0, kp_desc.shape[0])
+    m2, inv2 = run(2.0 * radius)
+    thin = n1 < n_retry_th  # widen window when thin
+    kp2mp = jnp.where(thin, inv2, inv1)  # per-keypoint map-point index
     kp_has = kp2mp >= 0
     Xw = mp_pos[jnp.clip(kp2mp, 0, None)]
     res = pose_opt.pose_optimization(Tcw_pred, Xw, kp_uv, kp_cov2_inv,
@@ -238,12 +235,9 @@ def reloc_track_body(T0s, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
     # (dense any-compare; scatter serializes on TPU)
     mp_found = jnp.any((jnp.arange(M)[:, None] == kp2mp[None, :])
                        & kp_has[None, :], axis=1)
-    grown = matching.search_by_projection_frame(
+    _, kp2mp2 = matching.search_by_projection_frame(
         mp_desc, proj, depth_ok, mp_valid & ~mp_found, kp_desc, kp_uv,
         kp_valid, ~kp_has, radius=radius2, bounds=bounds)
-    _, kp2mp2 = matching.resolve_mutual(
-        jnp.clip(grown, 0, None), jnp.zeros(grown.shape, jnp.float32),
-        grown >= 0, kp_desc.shape[0])
     kp2mp_u = jnp.where(kp_has, kp2mp, kp2mp2)
     kp_has_u = kp2mp_u >= 0
     Xw_u = mp_pos[jnp.clip(kp2mp_u, 0, None)]
@@ -272,8 +266,8 @@ def ref_track_body(Tcw0, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
                 n_inlier=res.n_inlier)
 
 
-def local_map_track_body(Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin,
-                         mp_dmax, mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
+def local_map_track_body(Tcw0, mp_pos, mp_desc_track, mp_normal,
+                         mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
                          kp_cov2_inv, kp_valid, K_intr, bounds, *,
                          view_cos_th, window_th, match_adaptive, c2_thresh):
     """SearchLocalPoints + PoseOptimization (tracker.cpp:561-832).
@@ -281,6 +275,9 @@ def local_map_track_body(Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin,
     mp_skip: points already bound to the current frame (mnLastFrameSeen) —
     frustum-checked points exclude them.  kp2mp0: bindings carried in from
     the coarse stage (indices into the *local-map* arrays, -1 free).
+    (No per-point min/max scale distances in the signature: the reference
+    comments the distance gate out of isInFrustum — see NOTE below — so
+    uploading those arrays every frame was pure dead transfer.)
     """
     R, t = Tcw0[:3, :3], Tcw0[:3, 3]
     pc = mp_pos @ R.T + t
@@ -305,13 +302,10 @@ def local_map_track_body(Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin,
     to_match = mp_valid & ~mp_skip & in_frustum
 
     kp_free = kp_valid & (kp2mp0 < 0)
-    match = matching.search_by_projection_points(
+    _, kp2mp_new = matching.search_by_projection_points(
         mp_desc_track, proj, view_cos, to_match, kp_desc, kp_uv, kp_valid,
         kp_free, th=window_th, match_adaptive=match_adaptive,
         c2_thresh=c2_thresh)
-    _, kp2mp_new = matching.resolve_mutual(
-        jnp.clip(match, 0, None), jnp.zeros(match.shape, jnp.float32),
-        match >= 0, kp_desc.shape[0])
     kp2mp = jnp.where(kp2mp0 >= 0, kp2mp0, kp2mp_new)
     kp_has = kp2mp >= 0
     Xw = mp_pos[jnp.clip(kp2mp, 0, None)]
@@ -327,7 +321,7 @@ def init_body(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc, kp2_uv,
     """SearchForInitialization (win 100, ratio 0.9; mono_tracker.cpp:79-84)
     + Initializer::Initialize, fused."""
     m = matching.search_for_initialization(
-        kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc, kp2_uv, kp2_valid,
+        kp1_desc, kp1_valid, prev_uv, kp2_desc, kp2_uv, kp2_valid,
         window=window, ratio=ratio)
     has = m.match12 >= 0
     uv1 = kp1_uv
@@ -424,8 +418,7 @@ def fuse_body(Tcw, mp_pos, mp_desc, mp_normal, mp_dmin, mp_dmax, mp_valid,
           & (proj[:, 1] >= bounds[2]) & (proj[:, 1] <= bounds[3])
           & (dist3 >= 0.8 * mp_dmin) & (dist3 <= 1.2 * mp_dmax) & view_ok)
     idx, best = matching.fuse_candidates(
-        mp_desc, proj, ok, kp_desc, kp_uv, kp_valid,
-        None, radius=radius)
+        mp_desc, proj, ok, kp_desc, kp_uv, kp_valid, radius=radius)
     return dict(best_idx=idx, best_dist=best)
 
 
@@ -511,11 +504,11 @@ class TrackingKernels:
         m = cfg.tracking.map
 
         @jit_f32
-        def local_fn(Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin,
-                     mp_dmax, mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
+        def local_fn(Tcw0, mp_pos, mp_desc_track, mp_normal,
+                     mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
                      kp_cov2_inv, kp_valid):
             out = local_map_track_body(
-                Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin, mp_dmax,
+                Tcw0, mp_pos, mp_desc_track, mp_normal,
                 mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv, kp_cov2_inv,
                 kp_valid, self.K_intr, self.bounds,
                 view_cos_th=m.th_view_cos, window_th=float(m.th_window_size),
@@ -524,15 +517,15 @@ class TrackingKernels:
             return self.local_layout.pack(**out)
 
         @jit_f32
-        def local_wide_fn(Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin,
-                          mp_dmax, mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
+        def local_wide_fn(Tcw0, mp_pos, mp_desc_track, mp_normal,
+                          mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
                           kp_cov2_inv, kp_valid):
             # starvation retry: widened search window (the reference widens
             # to th=5 after relocalization, sp_matcher.cpp th parameter;
             # here also when the local map starves mid-run — local BA depth
             # slides on low-parallax points can exceed the 4 px window)
             out = local_map_track_body(
-                Tcw0, mp_pos, mp_desc_track, mp_normal, mp_dmin, mp_dmax,
+                Tcw0, mp_pos, mp_desc_track, mp_normal,
                 mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv, kp_cov2_inv,
                 kp_valid, self.K_intr, self.bounds,
                 view_cos_th=m.th_view_cos,

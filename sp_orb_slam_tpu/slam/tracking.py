@@ -773,8 +773,6 @@ class Tracking:
         pos = np.zeros((L, 3), np.float32)
         desc = np.zeros((L, 256), np.float32)
         normal = np.zeros((L, 3), np.float32)
-        dmin = np.zeros(L, np.float32)
-        dmax = np.zeros(L, np.float32)
         valid = np.zeros(L, bool)
         skip = np.zeros(L, bool)
         n = len(pids)
@@ -783,8 +781,6 @@ class Tracking:
             pos[:n] = pool.pos[idx]
             desc[:n] = pool.desc_track[idx]
             normal[:n] = pool.normal[idx]
-            dmin[:n] = pool.min_dist[idx]
-            dmax[:n] = pool.max_dist[idx]
             valid[:n] = True
             skip[:n] = [pid in bound_pids for pid in pids]
 
@@ -793,7 +789,10 @@ class Tracking:
             li = pid_to_local.get(int(frame.mp_ids[i]))
             if li is not None:
                 kp2mp0[i] = li
-        args = (frame.Tcw.astype(np.float32), pos, desc, normal, dmin, dmax,
+        # (no per-point dmin/dmax: the scale-invariance distance gate is
+        # commented out of the reference isInFrustum — kernels.py NOTE — so
+        # those arrays were ~32 KB/frame of dead device upload)
+        args = (frame.Tcw.astype(np.float32), pos, desc, normal,
                 valid, skip, kp2mp0, frame.desc_dev, frame.uv,
                 frame.cov2_inv, frame.valid)
         wide = self.map.ba_epoch != self._seen_ba_epoch
@@ -850,9 +849,9 @@ class Tracking:
             # to the bad pose.
             Tcw_alt = (self.velocity @ self.last_frame.Tcw).astype(np.float32)
             alt = self.k.local_map_track_wide(
-                Tcw_alt, *args[1:7],
-                np.zeros_like(args[7]), np.full_like(args[8], -1),
-                *args[9:])
+                Tcw_alt, *args[1:5],
+                np.zeros_like(args[5]), np.full_like(args[6], -1),
+                *args[7:])
             if int(alt["n_inlier"]) > int(out["n_inlier"]):
                 out = alt
         if int(out["n_inlier"]) < self.cfg.tracking.map.th_ninlier_high:
@@ -865,20 +864,20 @@ class Tracking:
             # multi-start optimizer — then polish with a fresh wide search.
             T0s = self._reloc_starts(frame.Tcw)
             rl = self.k.reloc_track(
-                T0s, args[1], args[2], args[6], frame.desc_dev, frame.uv,
+                T0s, args[1], args[2], args[4], frame.desc_dev, frame.uv,
                 frame.cov2_inv, frame.valid)
             ms = self.k.local_map_track_wide(
-                np.asarray(rl["Tcw"], np.float32), *args[1:7],
-                np.zeros_like(args[7]), np.full_like(args[8], -1),
-                *args[9:])
+                np.asarray(rl["Tcw"], np.float32), *args[1:5],
+                np.zeros_like(args[5]), np.full_like(args[6], -1),
+                *args[7:])
             if int(ms["n_inlier"]) > int(out["n_inlier"]):
                 out = ms
         # visible bookkeeping (IncreaseVisible on frustum hits, :798-804).
-        # Already-bound points (args[7] = the prep-time skip mask) were
+        # Already-bound points (args[5] = the prep-time skip mask) were
         # counted by prepare_local_map; the retry paths zero the skip mask,
         # so without the exclusion a retry frame would credit them twice
         # and drag found_ratio toward the 0.25 culling gate.
-        for li in np.nonzero(out["mp_visible"][:n] & ~args[7][:n])[0]:
+        for li in np.nonzero(out["mp_visible"][:n] & ~args[5][:n])[0]:
             mp = self.map.points.get(pids[li])
             if mp is not None:
                 mp.n_visible += 1
