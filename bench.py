@@ -56,7 +56,7 @@ def main() -> None:
 
         def match_one(desc, uv, valid, pdesc, puv, pvalid):
             m = matching.search_for_initialization(
-                pdesc, puv, pvalid, puv, desc, uv, valid,
+                pdesc, pvalid, puv, desc, uv, valid,
                 window=100, ratio=0.9)
             return m.n_matches
 
