@@ -109,13 +109,16 @@ def run_once(cfg: Config, seq: str, run_idx: int, params=None,
     else:
         dataset = make_dataset(_merge_dataclass(cfg, {"seq": seq}))
 
+    # resolve ground truth BEFORE the (expensive) run so a missing GT
+    # source fails fast instead of after the full sequence completes
+    ts_gt, p_gt = _gt_for(cfg, seq, dataset)
+
     t0 = time.perf_counter()
     sys_ = System(cfg, params=params)
     sys_.spin(dataset, max_frames=max_frames)
     wall = time.perf_counter() - t0
 
     ts_est, poses_est = sys_.trajectory()
-    ts_gt, p_gt = _gt_for(cfg, seq, dataset)
     thr = cfg.eval_failure_threshold
     rep = sys_.report()
     if len(ts_est) < 10:
@@ -167,5 +170,18 @@ def evaluate(cfg: Config, seqs: List[str], runs: int = 5, params=None,
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "results.json"), "w") as f:
-            json.dump(out, f, indent=1)
+            # failed runs carry inf/nan metrics; json.dump would emit the
+            # non-standard Infinity/NaN literals strict parsers reject
+            json.dump(_json_sanitize(out), f, indent=1)
     return out
+
+
+def _json_sanitize(x):
+    """Replace non-finite floats with None for standards-valid JSON."""
+    if isinstance(x, dict):
+        return {k: _json_sanitize(v) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_json_sanitize(v) for v in x]
+    if isinstance(x, float) and not np.isfinite(x):
+        return None
+    return x

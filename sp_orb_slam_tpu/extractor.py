@@ -55,6 +55,13 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
     is ~46 MB per 32-image batch; measured perf-neutral, kept off for the
     memory).  `heat_inv` (covariance input) is always produced.
     """
+    if cov_radius > border:
+        # keypoint_covariance gathers a (2r+1)^2 window centered on the
+        # keypoint; the border filter is what guarantees the window never
+        # clips (a clipped window silently de-centers the flood-fill seed
+        # and reads the wrong response pixel)
+        raise ValueError(f"cov_radius ({cov_radius}) must be <= border "
+                         f"({border})")
     B, H, W = images.shape
     if conv_packing == "auto":
         # fused transposed-layout Pallas pair-1 kernel on the TPU bf16

@@ -87,10 +87,20 @@ class TsukubaDataset:
             p = os.path.join(root, "left", f"frame_{i}.png")
             if os.path.exists(p):
                 self.paths.append(p)
-        if not self.paths:  # tolerate alternate zero-padded layout
+        if not self.paths:  # tolerate alternate layouts (zero-padded,
+            # 0-based, other prefixes) — order NUMERICALLY: a lexicographic
+            # sort of unpadded names (frame_0, frame_1, frame_10, frame_100,
+            # ..., frame_11) would silently pair frames with wrong
+            # timestamps/GT rows
             import glob
+            import re
 
-            self.paths = sorted(glob.glob(os.path.join(root, "left", "*.png")))
+            def frame_key(p):
+                nums = re.findall(r"\d+", os.path.basename(p))
+                return (int(nums[-1]) if nums else -1, p)
+
+            self.paths = sorted(glob.glob(os.path.join(root, "left", "*.png")),
+                                key=frame_key)
         self.gt = None  # (ts, positions) when gt.txt exists
         for p in (os.path.join(root, "gt.txt"),
                   os.path.join(os.path.dirname(root.rstrip("/")), "gt.txt")):
@@ -120,8 +130,13 @@ class TsukubaDataset:
 # ---------------------------------------------------------------------------
 
 
-def _smooth_trajectory(n: int, rng) -> np.ndarray:
+def _smooth_trajectory(n: int) -> np.ndarray:
     """Twc poses: a constant-speed forward arc with steady lateral motion.
+
+    Deliberately seed-independent: the dataset seed varies the SCENE
+    (point positions + descriptors) — which perturbs every downstream
+    measurement — while the camera path stays fixed so per-seed ATE
+    numbers are comparable.
 
     Deliberately non-degenerate: inter-frame baseline stays roughly constant
     so every keyframe pair triangulates with healthy parallax.  (Degenerate
@@ -258,7 +273,7 @@ class SyntheticDataset:
         elif loop or trajectory == "loop":
             self.poses = _loop_trajectory(n_frames)
         else:
-            self.poses = _smooth_trajectory(n_frames, rng)
+            self.poses = _smooth_trajectory(n_frames)
         self.rng = rng
         self.pixel_noise = pixel_noise
         self.desc_noise = desc_noise
@@ -325,23 +340,26 @@ class SyntheticDataset:
             point_ids[k] = pi
             occ[cidx // wc, cidx % wc] = k
 
-        # dust map: high (uninformative) background, low at feature cells
-        dust = np.full((hc, wc), 0.85, np.float32)
-        cells = occ >= 0
-        # smooth low basin around occupied cells
+        # dust map: high (uninformative) background, smooth low basin
+        # around occupied feature cells
         from scipy.ndimage import distance_transform_edt
 
+        cells = occ >= 0
         dist = distance_transform_edt(~cells)
         dust = np.clip(0.05 + 0.25 * dist, 0.05, 0.85).astype(np.float32)
 
         # full-resolution heat ("coldness", low at keypoints) for the
-        # heat-alignment tracker variant: a distance bowl around keypoints
-        kp_img = np.ones((cam.height, cam.width), bool)
-        vi = np.clip(uv[valid, 1].astype(int), 0, cam.height - 1)
-        ui = np.clip(uv[valid, 0].astype(int), 0, cam.width - 1)
-        kp_img[vi, ui] = False
-        heat = np.clip(0.03 * distance_transform_edt(kp_img),
-                       0.0, 0.9).astype(np.float32)
+        # heat-alignment tracker variant: a distance bowl around keypoints.
+        # Only computed when that variant is selected — the full-res EDT
+        # costs real CPU per frame across the 5-run x N-seed protocol.
+        heat = None
+        if self.cfg.tracking.coarse_method == "heat":
+            kp_img = np.ones((cam.height, cam.width), bool)
+            vi = np.clip(uv[valid, 1].astype(int), 0, cam.height - 1)
+            ui = np.clip(uv[valid, 0].astype(int), 0, cam.width - 1)
+            kp_img[vi, ui] = False
+            heat = np.clip(0.03 * distance_transform_edt(kp_img),
+                           0.0, 0.9).astype(np.float32)
 
         cov2_inv = np.ones((K_cap, 2), np.float32)
         score = np.where(valid, 0.5, 0.0).astype(np.float32)
@@ -352,7 +370,7 @@ class SyntheticDataset:
             injected=dict(uv=uv, desc=desc, valid=valid, occ_grid=occ,
                           dust=dust, cov2_inv=cov2_inv, score=score,
                           count=int(valid.sum()), point_ids=point_ids,
-                          heat=heat),
+                          **({"heat": heat} if heat is not None else {})),
         )
 
     def __iter__(self) -> Iterator[RawFrame]:
@@ -380,12 +398,28 @@ class ExportDataset:
     def __init__(self, root: str):
         import glob
 
+        self.root = root
         self.paths = sorted(glob.glob(os.path.join(root, "frames", "*.npz")))
         ts_file = os.path.join(root, "timestamps.txt")
         if os.path.exists(ts_file):
-            self.timestamps = [float(x) for x in open(ts_file)]
+            with open(ts_file) as f:
+                self.timestamps = [float(x) for x in f]
+            if len(self.timestamps) < len(self.paths):
+                raise ValueError(
+                    f"timestamps.txt has {len(self.timestamps)} lines for "
+                    f"{len(self.paths)} frames under {root}")
         else:
             self.timestamps = [i / 20.0 for i in range(len(self.paths))]
+
+    def gt_trajectory(self):
+        """(ts, positions) from <root>/gt.txt (TUM 8-col), when present —
+        lets the batch-evaluation protocol score export runs (the
+        reference's Export loaders carry GT the same side-channel way)."""
+        p = os.path.join(self.root, "gt.txt")
+        if not os.path.exists(p):
+            raise FileNotFoundError(p)
+        rows = np.loadtxt(p)
+        return rows[:, 0], rows[:, 1:4]
 
     @staticmethod
     def save_frame(root: str, index: int, injected: dict,
@@ -411,6 +445,12 @@ class ExportDataset:
 
 def make_dataset(cfg: Config):
     name = cfg.dataset.lower()
+    # the export check runs FIRST: family-prefixed export names like
+    # "euroc_export" (DataloaderEuRoCExport parity) must not be captured
+    # by the startswith family branches below
+    if name.endswith("export"):
+        return ExportDataset(os.path.join(cfg.data_path, cfg.seq)
+                             if cfg.seq else cfg.data_path)
     if name.startswith("euroc"):
         return EurocDataset(cfg.data_path, cfg.seq)
     if name.startswith("tsukuba"):
@@ -418,7 +458,4 @@ def make_dataset(cfg: Config):
                               if cfg.seq else cfg.data_path)
     if name.startswith("synthetic"):
         return SyntheticDataset(cfg)
-    if name.endswith("export") or name == "export":
-        return ExportDataset(os.path.join(cfg.data_path, cfg.seq)
-                             if cfg.seq else cfg.data_path)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")

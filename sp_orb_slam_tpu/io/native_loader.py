@@ -164,6 +164,10 @@ def iter_gray_images(paths: List[str]):
     silently pair every later timestamp with the wrong image.  The PIL
     fallback therefore resumes at the first un-yielded index.
     """
+    if not paths:
+        # uniform behavior with and without the native lib (PngPrefetcher
+        # rejects an empty list; the PIL loop would just yield nothing)
+        return
     emitted = 0
     if available():
         try:

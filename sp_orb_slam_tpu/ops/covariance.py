@@ -154,7 +154,15 @@ def dense_covariance(heat_inv: jnp.ndarray, occ_grid: jnp.ndarray,
     label = jax.lax.fori_loop(0, iters, body, label)
 
     # Per-pixel owner-offset code o in [0, 25): the owner cell sits at
-    # (dcv, dcu) = owner - own_cell with |d| <= 2 (16 propagation steps).
+    # (dcv, dcu) = owner - own_cell, truncated to |d| <= 2 cells (16 px).
+    # NOTE: propagation itself can travel farther (each fori iteration
+    # applies 4 sequential direction passes, so a monotone zigzag ridge can
+    # be labeled up to ~4 px/iteration); pixels whose owner lies beyond the
+    # +-2-cell code table are dropped from the moments BY DESIGN — a wider
+    # table would blow the one-hot contraction up quadratically, and the
+    # production windowed kernel truncates at 8 px (tighter) anyway.  This
+    # variant deviates from the unbounded reference BFS only on such
+    # long-ridge pixels.
     r = 2
     side = 2 * r + 1
     own_cell = ((jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) // cell) * wc
