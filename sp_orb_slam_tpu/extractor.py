@@ -46,7 +46,7 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             cov_radius: int = 8, cov_iters: int = 16,
             cov_method: str = "auto", nms_method: str = "auto",
             desc_method: str = "auto", conv_packing: str = "auto",
-            with_heat: bool = False, emission: str = "scatter",
+            with_heat: bool = False, emission: str = "sort",
             compute_dtype=jnp.float32) -> Features:
     """images: (B, H, W) float32 in [0, 1].
 
@@ -102,7 +102,11 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
         # measured on v5e (scripts/profile_r3.py, round 3): the 4-corner
         # gather beats the dense 9-tap stencil in-graph (45.4 vs 48.5
         # ms/batch at B=32) — the stencil pays descriptor math for all
-        # 5640 cells where only ~800 emit; "dense" stays available
+        # 5640 cells where only ~800 emit — AND the sparse Pallas gather
+        # (44.9 vs 50.0 in round 3c: Mosaic's 8-row sublane alignment
+        # forces each bilinear row pair through an aligned 16-row load +
+        # masked reduce, and the per-keypoint loop can't amortize it);
+        # "dense"/"pallas"/"pallas_sparse" stay available
         desc_method = "gather"
     if desc_method in ("dense", "pallas"):
         # stencil-sample every cell's candidate, then pick each surviving

@@ -182,10 +182,21 @@ def pallas_sample_descriptors_dense(coarse: jnp.ndarray,
 # flattened to (hc*wc, D), a keypoint's four align_corners bilinear corners
 # are two ADJACENT-row pairs (rows r0, r0+1 and r0+wc, r0+wc+1 with
 # r0 = y0*wc + x0; x1 = x0+1 / y1 = y0+1 never clamp because the NMS border
-# filter keeps keypoints >= 8 px inside the image, extractor.py) — two
-# dynamic 2-row loads, a 4-way weighted sum, one dynamic row store.  Row
+# filter keeps keypoints >= 8 px inside the image, extractor.py).  Row
 # indices ride the scalar-prefetch path (SMEM); corner weights are
 # precomputed in XLA and live in VMEM lanes.
+#
+# Mosaic alignment rules shape the addressing (first TPU compile of the
+# naive version failed with "cannot statically prove that index in
+# dimension 1 is a multiple of 8"): dynamic sublane offsets of f32
+# loads/stores must be provably 8-aligned.  So each row pair is fetched as
+# one ALIGNED 16-row block from base = 8*(r0//8) (16 covers r0, r0+1 for
+# any r0 % 8, incl. the 7 -> next-block crossing) and the two rows are
+# folded out in-register by a masked-weighted reduce (one reduce per pair:
+# the bilinear weights ride the row mask).  Keypoints are processed in
+# groups of 8 so the output store is an aligned (8, D) block.  The coarse
+# map is padded by 16 zero rows so the last block's 16-row window never
+# reads out of bounds.
 
 
 @partial(jax.jit, static_argnames=("image_hw", "interpret"))
@@ -212,34 +223,51 @@ def pallas_sample_descriptors_sparse(coarse: jnp.ndarray, uv: jnp.ndarray,
     wts = jnp.stack([(1 - du) * (1 - dv), du * (1 - dv),
                      (1 - du) * dv, du * dv], axis=-1)  # (B, K, 4)
 
+    assert K % 8 == 0, "keypoint capacity must be a multiple of 8"
+    n_pad = n + 16  # aligned 16-row windows never read past the pad
     flat = coarse.reshape(B, n, D).astype(jnp.float32)
+    flat = jnp.pad(flat, ((0, 0), (0, n_pad - n), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, K, 4), lambda b, rows: (b, 0, 0)),
-            pl.BlockSpec((1, n, D), lambda b, rows: (b, 0, 0)),
+            pl.BlockSpec((1, n_pad, D), lambda b, rows: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, K, D), lambda b, rows: (b, 0, 0)),
     )
 
     def kernel(rows_all_ref, wts_ref, coarse_ref, out_ref):
         b = pl.program_id(0)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (16, D), 0)
 
-        def body(k, _):
-            r0 = rows_all_ref[b, k]
-            a = coarse_ref[0, pl.dslice(r0, 2), :]
-            bb = coarse_ref[0, pl.dslice(r0 + wc, 2), :]
-            w = wts_ref[0, pl.dslice(k, 1), :]
-            d = (w[:, 0:1] * a[0:1] + w[:, 1:2] * a[1:2]
-                 + w[:, 2:3] * bb[0:1] + w[:, 3:4] * bb[1:2])
-            ss = jnp.sum(d * d, axis=1, keepdims=True)
-            d = d * jnp.where(ss > 0.0, jax.lax.rsqrt(ss), 0.0)
-            out_ref[0, pl.dslice(k, 1), :] = d
+        def pair(r, w_lo, w_hi):
+            """Weighted sum w_lo*row[r] + w_hi*row[r+1] via one aligned
+            16-row load + masked-weighted reduce."""
+            base = pl.multiple_of(8 * (r // 8), 8)
+            off = r - base
+            blk = coarse_ref[0, pl.dslice(base, 16), :]       # (16, D)
+            wv = (jnp.where(ri == off, w_lo, 0.0)
+                  + jnp.where(ri == off + 1, w_hi, 0.0))
+            return jnp.sum(blk * wv, axis=0)                  # (D,)
+
+        def body(g, _):
+            k0 = pl.multiple_of(g * 8, 8)
+            w_g = wts_ref[0, pl.dslice(k0, 8), :]             # (8, 4)
+            acc = jnp.zeros((8, D), jnp.float32)
+            gi = jax.lax.broadcasted_iota(jnp.int32, (8, D), 0)
+            for j in range(8):
+                r0 = rows_all_ref[b, g * 8 + j]
+                d = (pair(r0, w_g[j, 0], w_g[j, 1])
+                     + pair(r0 + wc, w_g[j, 2], w_g[j, 3]))
+                ss = jnp.sum(d * d)
+                d = d * jnp.where(ss > 0.0, jax.lax.rsqrt(ss), 0.0)
+                acc = jnp.where(gi == j, d[None, :], acc)
+            out_ref[0, pl.dslice(k0, 8), :] = acc
             return 0
 
-        jax.lax.fori_loop(0, K, body, 0)
+        jax.lax.fori_loop(0, K // 8, body, 0)
 
     out = pl.pallas_call(
         kernel,

@@ -217,23 +217,21 @@ class StreamFleet:
                 continue
             self.n_batched_local += len(grp)
             outs = self._run_batched(
-                lambda *a, w=wide: self.kernels.local_map_track_batch(
-                    *a, wide=w),
+                lambda rows, w=wide: self.kernels.local_map_track_batch(
+                    rows, wide=w),
                 [p["args"] for _, _, p in grp])
             for (t, frame, prep), o in zip(grp, outs):
                 t.staged_local = (frame, prep, o)
 
     def _run_batched(self, batch_fn, rows: list) -> list:
-        """Stack per-stream arg tuples to the fixed fleet width (pad by
-        repeating row 0 — one compile) and run the batched kernel."""
-        import jax.numpy as jnp
-
+        """Pad per-stream arg tuples to the fixed fleet width (repeat row 0
+        — one compile) and run the batched kernel; the kernels' PackedInput
+        adapters turn the host args of ALL rows into one stacked upload."""
         n_live = len(rows)
         rows = list(rows)
         while len(rows) < self.n:
             rows.append(rows[0])
-        args = [jnp.stack([r[a] for r in rows]) for a in range(len(rows[0]))]
-        return batch_fn(*args)[:n_live]
+        return batch_fn(rows)[:n_live]
 
     # ------------------------------------------------------------- lifecycle
 

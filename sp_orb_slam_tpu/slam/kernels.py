@@ -46,7 +46,7 @@ from sp_orb_slam_tpu.utils.precision import jit_f32
 # ---------------------------------------------------------------------------
 
 class Layout:
-    """Named flat-f32 packing: one device->host transfer per kernel call."""
+    """Named flat-f32 packing: one device<->host transfer per kernel call."""
 
     def __init__(self, specs: List[Tuple[str, tuple, type]]):
         self.specs = specs
@@ -76,6 +76,128 @@ class Layout:
             out[name] = chunk
             off += size
         return out
+
+    # ---- input side (host -> device): the same packing, numpy-built ----
+
+    def pack_np(self, arrays: dict) -> np.ndarray:
+        """Host-side flat-f32 packing of input fields (exact: f32
+        passthrough; bools as 0/1; ints by value — all in-range, every
+        index here is < 2^24)."""
+        out = np.empty(self.total, np.float32)
+        off = 0
+        for (name, shape, _), size in zip(self.specs, self.sizes):
+            out[off:off + size] = np.ravel(
+                np.asarray(arrays[name])).astype(np.float32, copy=False)
+            off += size
+        return out
+
+    def unpack_jnp(self, flat: jnp.ndarray) -> dict:
+        """In-graph unpacking (static slices — XLA folds them away)."""
+        out = {}
+        off = 0
+        for (name, shape, dtype), size in zip(self.specs, self.sizes):
+            chunk = flat[off:off + size]
+            chunk = chunk.reshape(shape) if shape else chunk[0]
+            if dtype is bool:
+                chunk = chunk > 0.5
+            elif dtype is int:
+                # values are exact integers in f32 range; truncation == rint
+                chunk = chunk.astype(jnp.int32)
+            out[name] = chunk
+            off += size
+        return out
+
+
+class PackedInput:
+    """One host->device transfer per kernel call.
+
+    Over the axon tunnel each jit argument pays a flat per-buffer roundtrip
+    (measured round 3c: local_map_track with its 8 numpy args cost
+    ~300-960 ms/call while the kernel itself executes in ~29 ms and the
+    same bytes move in ~8 ms as ONE buffer).  The output side already
+    packs to a single f32 vector (Layout above); this is the mirror for
+    inputs: every numpy argument is packed into one flat f32 buffer on the
+    host and unpacked in-graph by static slices, while jax.Array arguments
+    (device-resident descriptors/maps from extraction) pass straight
+    through.
+
+    The host/device split and the per-arg shapes/dtypes are keyed on the
+    call pattern, so a caller that keeps e.g. the dust map on device and
+    another that feeds numpy (the injected-feature rail) each get their own
+    compiled program — exactly the recompile jit itself would do.
+    """
+
+    def __init__(self, body_fn):
+        self._body = body_fn
+        self._variants = {}  # host-index pattern -> (layout, jit, batch_jit)
+
+    def _variant(self, args):
+        pattern = tuple(not isinstance(a, jax.Array) for a in args)
+        specs = []
+        for i, (a, h) in enumerate(zip(args, pattern)):
+            if not h:
+                continue
+            a = np.asarray(a)
+            if a.dtype == np.bool_:
+                d = bool
+            elif np.issubdtype(a.dtype, np.integer):
+                d = int
+            else:
+                d = float
+            specs.append((f"a{i}", a.shape, d))
+        # host shapes/dtypes are part of the key: a same-split call with
+        # different shapes needs its own layout (jit recompiles anyway)
+        key = (pattern, tuple((n, s, d) for n, s, d in specs))
+        v = self._variants.get(key)
+        if v is not None:
+            return pattern, v
+        layout = Layout(specs)
+        body = self._body
+        n_args = len(args)
+
+        def assemble(packed, dev):
+            host = layout.unpack_jnp(packed)
+            it = iter(dev)
+            return [host[f"a{i}"] if pattern[i] else next(it)
+                    for i in range(n_args)]
+
+        @jit_f32
+        def one_fn(packed, *dev):
+            return body(*assemble(packed, dev))
+
+        @jit_f32
+        def batch_fn(packed, *dev):
+            return jax.vmap(lambda p, *d: body(*assemble(p, d)))(
+                packed, *dev)
+
+        v = (layout, one_fn, batch_fn)
+        self._variants[key] = v
+        return pattern, v
+
+    def _split(self, args, pattern, layout):
+        hosts = {f"a{i}": a for i, a in enumerate(args) if pattern[i]}
+        devs = [a for i, a in enumerate(args) if not pattern[i]]
+        return layout.pack_np(hosts), devs
+
+    def __call__(self, *args):
+        pattern, (layout, one_fn, _) = self._variant(args)
+        packed, devs = self._split(args, pattern, layout)
+        return one_fn(packed, *devs)
+
+    def call_rows(self, rows):
+        """Batched over a list of positional arg tuples (the fleet serving
+        prepass): ONE stacked (N, L) f32 upload for every host arg of every
+        row, device args jnp.stack'ed on-device, body vmapped."""
+        pattern, (layout, _, batch_fn) = self._variant(rows[0])
+        packed = []
+        devs_rows = []
+        for r in rows:
+            p, d = self._split(r, pattern, layout)
+            packed.append(p)
+            devs_rows.append(d)
+        devs = [jnp.stack([dr[i] for dr in devs_rows])
+                for i in range(len(devs_rows[0]))]
+        return batch_fn(np.stack(packed), *devs)
 
 
 # ---------------------------------------------------------------------------
@@ -455,7 +577,6 @@ class TrackingKernels:
 
         d = cfg.tracking.dust
 
-        @jit_f32
         def dust_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, dust,
                     occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid):
             out = dust_track_body(
@@ -465,7 +586,6 @@ class TrackingKernels:
                 chi2_inlier=d.chi2_inlier)
             return self.dust_layout.pack(**out)
 
-        @jit_f32
         def heat_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, heat,
                     occ_grid, kp_desc, kp_uv, kp_cov2_inv, kp_valid):
             out = heat_track_body(
@@ -475,7 +595,6 @@ class TrackingKernels:
                 chi2_inlier=cfg.tracking.heat_chi2_inlier)
             return self.dust_layout.pack(**out)
 
-        @jit_f32
         def motion_fn(Tcw_pred, mp_pos, mp_desc_track, mp_valid, kp_desc,
                       kp_uv, kp_cov2_inv, kp_valid):
             out = motion_track_body(
@@ -485,14 +604,12 @@ class TrackingKernels:
                 n_retry_th=cfg.tracking.motion.th_nmatch_proj)
             return self.track_layout.pack(**out)
 
-        @jit_f32
         def ref_fn(Tcw0, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
                    kp_cov2_inv, kp_valid):
             out = ref_track_body(Tcw0, mp_pos, mp_desc, mp_valid, kp_desc,
                                  kp_uv, kp_cov2_inv, kp_valid, self.K_intr)
             return self.track_layout.pack(**out)
 
-        @jit_f32
         def reloc_fn(T0s, mp_pos, mp_desc, mp_valid, kp_desc, kp_uv,
                      kp_cov2_inv, kp_valid):
             out = reloc_track_body(
@@ -503,7 +620,6 @@ class TrackingKernels:
 
         m = cfg.tracking.map
 
-        @jit_f32
         def local_fn(Tcw0, mp_pos, mp_desc_track, mp_normal,
                      mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
                      kp_cov2_inv, kp_valid):
@@ -516,7 +632,6 @@ class TrackingKernels:
                 c2_thresh=cfg.tracking.dust.c2_thresh)
             return self.local_layout.pack(**out)
 
-        @jit_f32
         def local_wide_fn(Tcw0, mp_pos, mp_desc_track, mp_normal,
                           mp_valid, mp_skip, kp2mp0, kp_desc, kp_uv,
                           kp_cov2_inv, kp_valid):
@@ -534,28 +649,12 @@ class TrackingKernels:
                 c2_thresh=cfg.tracking.dust.c2_thresh)
             return self.local_layout.pack(**out)
 
-        def _batched(single_pack_fn):
-            """Stream-batched variant of a packed kernel fn (the fleet
-            serving prepass, slam/fleet.py): the same body vmapped over a
-            leading stream axis, ONE packed (N, L) readback for the whole
-            fleet — N sequential per-stream calls pay N kernel dispatches
-            plus N ~25 ms tunnel readbacks."""
-            @jit_f32
-            def batch_fn(*args):
-                return jax.vmap(single_pack_fn)(*args)
-            return batch_fn
-
-        dust_batch_fn = _batched(dust_fn)
-        local_batch_fn = _batched(local_fn)
-        local_wide_batch_fn = _batched(local_wide_fn)
-
         self.init_layout = Layout([
             ("ok", (), bool), ("used_h", (), bool), ("R21", (3, 3), float),
             ("t21", (3,), float), ("points", (K, 3), float),
             ("triangulated", (K,), bool), ("match12", (K,), int),
             ("n_matches", (), int)])
 
-        @jit_f32
         def init_fn(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc, kp2_uv,
                     kp2_valid, key):
             out = init_body(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc,
@@ -570,7 +669,6 @@ class TrackingKernels:
             ("z1", (K,), float), ("tau1", (K,), float),
             ("z2", (K,), float), ("tau2", (K,), float)])
 
-        @jit_f32
         def tri_fn(Tcw1, Tcw2, kp1_uv, kp1_desc, kp1_cov2_inv, kp1_free,
                    kp2_uv, kp2_desc, kp2_cov2_inv, kp2_free):
             out = triangulate_body(
@@ -583,7 +681,6 @@ class TrackingKernels:
         self.fuse_layout = Layout([
             ("best_idx", (L,), int), ("best_dist", (L,), float)])
 
-        @jit_f32
         def fuse_fn(Tcw, mp_pos, mp_desc, mp_normal, mp_dmin, mp_dmax,
                     mp_valid, kp_uv, kp_desc, kp_valid):
             out = fuse_body(Tcw, mp_pos, mp_desc, mp_normal, mp_dmin,
@@ -591,19 +688,25 @@ class TrackingKernels:
                             self.K_intr, self.bounds, radius=3.0)
             return self.fuse_layout.pack(**out)
 
-        self._dust = dust_fn
-        self._dust_batch = dust_batch_fn
-        self._heat = heat_fn
-        self._motion = motion_fn
-        self._ref = ref_fn
-        self._reloc = reloc_fn
-        self._local = local_fn
-        self._local_wide = local_wide_fn
-        self._local_batch = local_batch_fn
-        self._local_wide_batch = local_wide_batch_fn
-        self._init = init_fn
-        self._tri = tri_fn
-        self._fuse = fuse_fn
+        # every kernel goes through PackedInput: ONE h2d transfer of the
+        # numpy args per call (see the class docstring for the measured
+        # per-buffer tunnel cost this kills); the batched fleet variants
+        # are the same adapters' call_rows
+        self._dust = PackedInput(dust_fn)
+        self._heat = PackedInput(heat_fn)
+        self._motion = PackedInput(motion_fn)
+        self._ref = PackedInput(ref_fn)
+        self._reloc = PackedInput(reloc_fn)
+        self._local = PackedInput(local_fn)
+        self._local_wide = PackedInput(local_wide_fn)
+        self._init = PackedInput(init_fn)
+        self._tri = PackedInput(tri_fn)
+        self._fuse = PackedInput(fuse_fn)
+
+        def gather_fn(bank, rows, valid):
+            return jnp.where(valid[:, None], bank[rows], 0.0)
+
+        self._gather = PackedInput(gather_fn)
 
         hc, wc = cfg.grid_h, cfg.grid_w
         self.feat_layout = Layout([
@@ -642,10 +745,10 @@ class TrackingKernels:
     def dust_track(self, *args):
         return self.dust_layout.unpack(np.asarray(self._dust(*args)))
 
-    def dust_track_batch(self, *args):
-        """Batched dust stage: args carry a leading stream axis; returns a
-        list of unpacked per-stream dicts from ONE device readback."""
-        flat = np.asarray(self._dust_batch(*args))
+    def dust_track_batch(self, rows):
+        """Batched dust stage: `rows` is a list of per-stream arg tuples;
+        ONE packed upload + ONE packed readback for the whole fleet."""
+        flat = np.asarray(self._dust.call_rows(rows))
         return [self.dust_layout.unpack(row) for row in flat]
 
     def motion_track(self, *args):
@@ -663,11 +766,11 @@ class TrackingKernels:
     def local_map_track_wide(self, *args):
         return self.local_layout.unpack(np.asarray(self._local_wide(*args)))
 
-    def local_map_track_batch(self, *args, wide: bool = False):
-        """Batched fine stage (leading stream axis): a list of unpacked
-        per-stream dicts from ONE device readback."""
-        fn = self._local_wide_batch if wide else self._local_batch
-        flat = np.asarray(fn(*args))
+    def local_map_track_batch(self, rows, wide: bool = False):
+        """Batched fine stage over per-stream arg tuples: a list of unpacked
+        per-stream dicts from ONE upload + ONE readback."""
+        fn = self._local_wide if wide else self._local
+        flat = np.asarray(fn.call_rows(rows))
         return [self.local_layout.unpack(row) for row in flat]
 
     def init_two_view(self, *args):
@@ -678,3 +781,11 @@ class TrackingKernels:
 
     def fuse(self, *args):
         return self.fuse_layout.unpack(np.asarray(self._fuse(*args)))
+
+    def gather_rows(self, bank, rows, valid):
+        """On-device descriptor row gather: (cap, 256) device bank +
+        (P,) int rows/valid mask (one tiny packed upload) -> (P, 256)
+        device array (invalid slots exact zeros, matching the padded host
+        arrays this replaces).  The result stays on device — it feeds the
+        tracking kernels as a pass-through argument."""
+        return self._gather(bank, rows, valid)

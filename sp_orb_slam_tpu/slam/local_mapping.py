@@ -649,18 +649,21 @@ class LocalMapping:
         pool = self.map.pool
         idx = np.asarray(pids, np.int64)
         pos = np.zeros((L, 3), np.float32)
-        desc = np.zeros((L, 256), np.float32)
         normal = np.zeros((L, 3), np.float32)
         dmin = np.zeros(L, np.float32)
         dmax = np.zeros(L, np.float32)
         valid = np.zeros(L, bool)
+        rows = np.zeros(L, np.int32)
         n = len(pids)
         pos[:n] = pool.pos[idx]
-        desc[:n] = pool.desc[idx]  # Fuse uses GetDescriptor (distinctive)
+        rows[:n] = idx
         normal[:n] = pool.normal[idx]
         dmin[:n] = pool.min_dist[idx]
         dmax[:n] = pool.max_dist[idx]
         valid[:n] = True
+        # Fuse uses GetDescriptor (distinctive); gathered on device from
+        # the pool bank instead of a 4 MB per-call host upload
+        desc = self.k.gather_rows(pool.device_bank("desc"), rows, valid)
         out = self.k.fuse(kf.Tcw, pos, desc, normal, dmin, dmax, valid,
                           kf.data.uv, kf.data.desc_dev, kf.data.valid)
         best_idx = out["best_idx"]

@@ -48,7 +48,19 @@ GRAVEYARD_EPOCHS = 4
 
 
 class MapPointPool:
-    """Fixed-capacity numpy pools for map-point array data."""
+    """Fixed-capacity numpy pools for map-point array data.
+
+    The two descriptor matrices additionally keep lazy DEVICE mirrors
+    ("banks"): descriptors are by far the largest per-frame kernel input
+    (4096x256 f32 = 4 MB for the local-map stage) and they change only at
+    mapper events (update_desc_track / compute_distinctive_descriptor), so
+    re-uploading them per tracked frame is almost pure waste — measured
+    round 3c, the axon tunnel moves host buffers at ~25 MB/s on bad days,
+    putting that one argument at ~170 ms/frame.  Writers go through
+    write_desc/write_desc_track so dirty rows are tracked; device_bank()
+    flushes dirty rows with one scatter and returns the mirror, and
+    per-stage kernels gather their point rows from it ON DEVICE
+    (kernels.gather_rows)."""
 
     def __init__(self, capacity: int, desc_dim: int = 256):
         self.capacity = capacity
@@ -60,6 +72,52 @@ class MapPointPool:
         self.max_dist = np.zeros(capacity, np.float32)
         self.alive = np.zeros(capacity, bool)
         self._free: List[int] = list(range(capacity - 1, -1, -1))
+        self._banks = {}                       # name -> jax.Array mirror
+        self._dirty = {"desc_track": set(), "desc": set()}
+        self._bank_version = {"desc_track": 0, "desc": 0}
+
+    def write_desc(self, pid: int, row: np.ndarray) -> None:
+        self.desc[pid] = row
+        self._dirty["desc"].add(int(pid))
+
+    def write_desc_track(self, pid: int, row: np.ndarray) -> None:
+        self.desc_track[pid] = row
+        self._dirty["desc_track"].add(int(pid))
+
+    def bank_version(self, name: str) -> int:
+        """Monotone per-bank counter; bumps on every flush (device_bank
+        callers key gather caches on it).  Dirty-but-unflushed rows are
+        made visible by counting them in."""
+        return self._bank_version[name] + (1 if self._dirty[name] else 0)
+
+    def invalidate_banks(self) -> None:
+        """Drop the device mirrors (bulk host rewrite, e.g. map load)."""
+        self._banks.clear()
+        for s in self._dirty.values():
+            s.clear()
+        for k in self._bank_version:
+            self._bank_version[k] += 1
+
+    def device_bank(self, name: str):
+        """Flush dirty rows and return the (capacity, 256) device mirror.
+        First call starts from device zeros (no bulk upload) and flushes
+        every live row; later calls upload only rows written since."""
+        import jax.numpy as jnp
+
+        host = getattr(self, name)
+        bank = self._banks.get(name)
+        dirty = self._dirty[name]
+        if bank is None:
+            bank = jnp.zeros(host.shape, jnp.float32)
+            dirty.clear()
+            dirty.update(int(i) for i in np.nonzero(self.alive)[0])
+        if dirty:
+            idx = np.fromiter(dirty, np.int64, len(dirty))
+            bank = bank.at[jnp.asarray(idx)].set(jnp.asarray(host[idx]))
+            dirty.clear()
+            self._bank_version[name] += 1
+        self._banks[name] = bank
+        return bank
 
     def alloc(self) -> int:
         if not self._free:
@@ -281,13 +339,13 @@ class Map:
         D = np.stack(descs)
         dist = np.linalg.norm(D[:, None, :] - D[None, :, :], axis=-1)
         medians = np.median(dist, axis=1)
-        self.pool.desc[mp.pid] = D[int(np.argmin(medians))]
+        self.pool.write_desc(mp.pid, D[int(np.argmin(medians))])
 
     def update_desc_track(self, mp: MapPoint, kf_id: int, idx: int) -> None:
         """mappoint.cpp:79-87 — descriptor of the latest KF observation."""
         kf = self.keyframes.get(kf_id)
         if kf is not None:
-            self.pool.desc_track[mp.pid] = kf.data.desc_host[idx]
+            self.pool.write_desc_track(mp.pid, kf.data.desc_host[idx])
 
     def update_normal_and_depth(self, mp: MapPoint) -> None:
         """mappoint.cpp:322-362 (single-level pyramid: min == max dist)."""

@@ -164,6 +164,9 @@ def load_map(path: str, mp_capacity: int = 65536) -> Map:
         mp = MapPoint(pid=pid, first_kf=int(first_kf), ref_kf=int(ref_kf),
                       n_visible=int(n_vis), n_found=int(n_found))
         world.points[pid] = mp
+    # bulk host rewrite above bypassed the dirty tracking; rebuild the
+    # device descriptor mirrors from scratch on next use
+    world.pool.invalidate_banks()
     for old_pid, kf_id, kp_idx in z["mp_obs"]:
         mp = world.points.get(remap.get(int(old_pid), -1))
         if mp is not None:

@@ -57,6 +57,7 @@ class Tracking:
         #                             580-585)
         self.last_fail = ""  # diagnostic: why the latest stage rejected
         self._seen_ba_epoch = 0  # widened-window trigger (map.ba_epoch)
+        self._desc_gather_cache = {}  # (bank, cap) -> (key, device desc)
         # init state
         self._init_frame: Optional[FrameData] = None
         self._prev_matched: Optional[np.ndarray] = None
@@ -388,16 +389,32 @@ class Tracking:
                         break
         return pids[:P], n_kfs
 
-    def _pad_mp_arrays(self, pids: List[int], cap: int, desc_src: np.ndarray):
+    def _pad_mp_arrays(self, pids: List[int], cap: int,
+                       bank: str = "desc_track"):
+        """Point arrays for a tracking kernel: positions/validity as small
+        numpy uploads, descriptors as an ON-DEVICE row gather from the
+        pool's device bank (they are the one multi-MB per-frame input and
+        change only at mapper events — see MapPointPool.device_bank).
+        Consecutive frames with the same point set and bank version reuse
+        the gathered device array outright."""
         pos = np.zeros((cap, 3), np.float32)
-        desc = np.zeros((cap, desc_src.shape[1]), np.float32)
         valid = np.zeros(cap, bool)
+        rows = np.zeros(cap, np.int32)
         n = min(len(pids), cap)
         if n:
             idx = np.asarray(pids[:n], np.int64)
             pos[:n] = self.map.pool.pos[idx]
-            desc[:n] = desc_src[idx]
+            rows[:n] = idx
             valid[:n] = True
+        key = (bank, cap, id(self.map.pool),
+               self.map.pool.bank_version(bank), tuple(pids[:n]))
+        cached = self._desc_gather_cache.get((bank, cap))
+        if cached is not None and cached[0] == key:
+            desc = cached[1]
+        else:
+            desc = self.k.gather_rows(
+                self.map.pool.device_bank(bank), rows, valid)
+            self._desc_gather_cache[(bank, cap)] = (key, desc)
         return pos, desc, valid
 
     def prepare_dust(self, frame: FrameData):
@@ -419,8 +436,7 @@ class Tracking:
         if not pids:
             return None
         P = self.cfg.runtime.dust_points_cap
-        pos, desc_track, valid = self._pad_mp_arrays(
-            pids, P, self.map.pool.desc_track)
+        pos, desc_track, valid = self._pad_mp_arrays(pids, P)
         args = (Tcw_pred.astype(np.float32), pos, desc_track, valid,
                 frame.dust_dev, frame.occ_grid_dev, frame.desc_dev,
                 frame.uv, frame.cov2_inv, frame.valid)
@@ -500,8 +516,7 @@ class Tracking:
         if not pids:
             return False
         P = self.cfg.runtime.local_points_cap
-        pos, desc_track, valid = self._pad_mp_arrays(
-            pids, P, self.map.pool.desc_track)
+        pos, desc_track, valid = self._pad_mp_arrays(pids, P)
         out = self.k.motion_track(
             Tcw_pred.astype(np.float32), pos, desc_track, valid,
             frame.desc_dev, frame.uv, frame.cov2_inv, frame.valid)
@@ -634,12 +649,19 @@ class Tracking:
             return False
         K = self.cfg.runtime.max_keypoints
         pos = np.zeros((K, 3), np.float32)
-        desc = np.zeros((K, 256), np.float32)
         valid = np.zeros(K, bool)
+        rows_pad = np.zeros(K, np.int32)
         n = min(len(pids), K)
         pos[:n] = self.map.pool.pos[np.asarray(pids[:n])]
-        desc[:n] = ref.data.desc_host[np.asarray(rows[:n])]
+        rows_pad[:n] = np.asarray(rows[:n], np.int32)
         valid[:n] = True
+        if ref.data.desc_dev is not None:
+            # the KF's descriptors are immutable and already device-resident
+            # from extraction: gather the observation rows on device
+            desc = self.k.gather_rows(ref.data.desc_dev, rows_pad, valid)
+        else:  # injected-feature rail keeps descriptors host-side
+            desc = np.zeros((K, 256), np.float32)
+            desc[:n] = ref.data.desc_host[np.asarray(rows[:n])]
         if T0s is not None:
             out = self.k.reloc_track(
                 T0s, pos, desc, valid, frame.desc_dev, frame.uv,
@@ -771,18 +793,30 @@ class Tracking:
 
         pool = self.map.pool
         pos = np.zeros((L, 3), np.float32)
-        desc = np.zeros((L, 256), np.float32)
         normal = np.zeros((L, 3), np.float32)
         valid = np.zeros(L, bool)
         skip = np.zeros(L, bool)
+        rows = np.zeros(L, np.int32)
         n = len(pids)
         if n:
             idx = np.asarray(pids, np.int64)
             pos[:n] = pool.pos[idx]
-            desc[:n] = pool.desc_track[idx]
+            rows[:n] = idx
             normal[:n] = pool.normal[idx]
             valid[:n] = True
             skip[:n] = [pid in bound_pids for pid in pids]
+        # descriptors: on-device gather from the pool bank (4 MB that
+        # changes only at mapper events — MapPointPool.device_bank), cached
+        # across frames while the local-map set and bank are unchanged
+        key = ("desc_track", L, id(pool),
+               pool.bank_version("desc_track"), tuple(pids))
+        cached = self._desc_gather_cache.get(("desc_track", L))
+        if cached is not None and cached[0] == key:
+            desc = cached[1]
+        else:
+            desc = self.k.gather_rows(
+                pool.device_bank("desc_track"), rows, valid)
+            self._desc_gather_cache[("desc_track", L)] = (key, desc)
 
         kp2mp0 = np.full(frame.K, -1, np.int64)
         for i in np.nonzero(frame.mp_ids >= 0)[0]:
