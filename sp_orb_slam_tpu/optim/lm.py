@@ -51,10 +51,30 @@ def lm_update(accepted, rho, lam, nu):
 
 
 def solve_damped(H: jnp.ndarray, b: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
-    """Solve (H + lam I) dx = b (g2o adds lambda to the diagonal)."""
+    """Solve (H + lam I) dx = b (g2o adds lambda to the diagonal).
+
+    Jacobi-preconditioned: the TPU f32 solve on the raw normal equations is
+    the round-4 dust-tracker failure mode — reprojection/dust Hessians mix
+    rotation and translation blocks whose diagonals differ by ~1e4-1e6
+    (|J| ~ fx), and on ill-conditioned frames the TPU LU returned a garbage
+    `dx` that CPU LAPACK handled (diag_dust replay: NaN poses / n_coarse=0
+    on 32/36 frames from byte-identical inputs).  Scaling to unit diagonal
+    before the solve keeps f32 factorization well-conditioned on every
+    backend; non-finite solutions (exactly-singular H, e.g. all edges dead)
+    degrade to a zero step instead of poisoning the pose.  g2o solves the
+    same systems in double precision (optimizer.cpp LinearSolverDense) —
+    this is the f32-native equivalent, not a behavior change.
+    """
     n = H.shape[-1]
     Hd = H + lam[..., None, None] * jnp.eye(n, dtype=H.dtype)
-    return jnp.linalg.solve(Hd, b[..., None])[..., 0]
+    diag = jnp.diagonal(Hd, axis1=-2, axis2=-1)
+    d = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    Hs = Hd * d[..., :, None] * d[..., None, :]
+    bs = b * d
+    ys = jnp.linalg.solve(Hs, bs[..., None])[..., 0]
+    dx = ys * d
+    return jnp.where(jnp.all(jnp.isfinite(dx), axis=-1, keepdims=True),
+                     dx, 0.0)
 
 
 def gain_ratio(chi2_old, chi2_new, dx, b, lam):

@@ -263,7 +263,14 @@ def pose_optimization_dust(Tcw0: jnp.ndarray, Xw: jnp.ndarray,
         T_new = se3.se3_exp(dx) @ Tcw
         _, _, cost_new, ok_new = system(T_new, alive)
         rho = lm.gain_ratio(cost, cost_new, dx, b, lam)
-        accept = (cost_new < cost) & jnp.isfinite(cost_new)
+        # step-sanity guard: the masked cost REWARDS flinging points out of
+        # the image (their residuals leave the sum), so a garbage solver
+        # step that moves the camera wildly scores cost_new == 0 and would
+        # be "accepted", latching every edge dead (the round-4 TPU failure;
+        # see lm.solve_damped).  Genuine dust steps are ~1e-3..1e-1 in
+        # se3-log units; anything near 1e3 is solver debris, never signal.
+        sane = jnp.sum(dx * dx) < 1e6
+        accept = sane & (cost_new < cost) & jnp.isfinite(cost_new)
         lam, nu = lm.lm_update(accept, rho, lam, nu)
         Tcw = jnp.where(accept, T_new, Tcw)
         alive = jnp.where(accept, alive & ok_new, alive)
@@ -329,7 +336,10 @@ def pose_optimization_heat(Tcw0: jnp.ndarray, Xw: jnp.ndarray,
         T_new = se3.se3_exp(dx) @ Tcw
         _, _, cost_new, ok_new = system(T_new, alive)
         rho = lm.gain_ratio(cost, cost_new, dx, b, lam)
-        accept = (cost_new < cost) & jnp.isfinite(cost_new)
+        # step-sanity guard: see pose_optimization_dust (same masked-cost
+        # pathology on the heat map)
+        sane = jnp.sum(dx * dx) < 1e6
+        accept = sane & (cost_new < cost) & jnp.isfinite(cost_new)
         lam, nu = lm.lm_update(accept, rho, lam, nu)
         Tcw = jnp.where(accept, T_new, Tcw)
         alive = jnp.where(accept, alive & ok_new, alive)
