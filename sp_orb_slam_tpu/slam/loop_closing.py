@@ -435,9 +435,15 @@ class LoopClosing:
 
     def _project_match(self, kf: KeyFrame, Scw, pids: List[int],
                        radius: float) -> Dict[int, int]:
-        """SearchByProjectionLoop (sp_matcher_loop.cpp:222-332): project map
-        points through Scw into the current KF, best descriptor within the
-        window at TH_LOW.  Returns {kp_idx: pid}."""
+        """SearchByProjectionLoop (sp_matcher_loop.cpp:222-332) / the Fuse
+        Sim3 overload (sp_matcher.cpp:1106-1219): project map points through
+        Scw into the current KF with the reference's geometric gates —
+        positive depth, in-image, scale-invariance depth range
+        (0.8*dmin / 1.2*dmax via GetMin/MaxDistanceInvariance,
+        sp_matcher.cpp:1159-1165) and viewing angle < 60 deg
+        (PO . normal >= 0.5 * |PO|, :1168-1171; the normal is the reference's
+        non-unit mean-of-rays mNormalVector) — then best descriptor within
+        the window at TH_HIGH (:1204).  Returns {kp_idx: pid}."""
         import jax.numpy as jnp
 
         from sp_orb_slam_tpu.ops import matching
@@ -446,7 +452,8 @@ class LoopClosing:
             return {}
         pool = self.map.pool
         idx = np.asarray(pids, np.int64)
-        Xc = _sim3_apply_np(Scw, pool.pos[idx].astype(np.float64))
+        Xw = pool.pos[idx].astype(np.float64)
+        Xc = _sim3_apply_np(Scw, Xw)
         z = Xc[:, 2]
         ok = z > 0
         K = np.asarray(self.k.K_intr)
@@ -454,6 +461,16 @@ class LoopClosing:
         v = K[1] * Xc[:, 1] / np.where(ok, z, 1.0) + K[3]
         cam = self.cfg.camera
         ok &= (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        # depth-range + viewing-angle gates against the Sim3 camera center
+        # Ow = -Rcw^T tcw with Rcw = sR/s, tcw = t/s (sp_matcher.cpp:1119-1121)
+        Rs, ts, ss = Scw
+        Ow = -(np.asarray(Rs, np.float64).T @ (np.asarray(ts, np.float64) / ss))
+        PO = Xw - Ow[None, :]
+        dist3 = np.linalg.norm(PO, axis=1)
+        ok &= ((dist3 >= 0.8 * pool.min_dist[idx])
+               & (dist3 <= 1.2 * pool.max_dist[idx]))
+        cosang = np.einsum('ij,ij->i', PO, pool.normal[idx].astype(np.float64))
+        ok &= cosang >= 0.5 * dist3
         proj = np.stack([u, v], -1).astype(np.float32)
         dist = matching.pairwise_dist(
             jnp.asarray(pool.desc[idx]), kf.data.desc_dev)
@@ -468,7 +485,7 @@ class LoopClosing:
         order = np.argsort(best_d)
         used = set()
         for pi in order:
-            if best_d[pi] > matching.TH_LOW:
+            if best_d[pi] > matching.TH_HIGH:
                 break
             kp = int(best_kp[pi])
             if kp in used:

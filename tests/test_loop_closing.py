@@ -182,6 +182,66 @@ def test_loop_detection_and_correction(cfg):
     assert n_replaced > 20, n_replaced
 
 
+def test_project_match_fuse_gates(cfg):
+    """The Fuse-Sim3 geometric gates (sp_matcher.cpp:1159-1171, shared by
+    SearchByProjectionLoop sp_matcher_loop.cpp:274-287): an off-depth or
+    off-normal duplicate must NOT be fused even with a perfect descriptor,
+    while the in-range point matches."""
+    import jax.numpy as jnp
+
+    world = Map()
+    kernels = TrackingKernels(cfg)
+    mapper = LocalMapping(cfg, world, kernels)
+    looper = LoopClosing(cfg, world, kernels, mapper)
+    cam = cfg.camera
+
+    N = cfg.runtime.max_keypoints
+    rng = np.random.default_rng(3)
+    desc = rng.normal(size=(N, 256)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    uv = np.zeros((N, 2), np.float32)
+    valid = np.zeros(N, bool)
+    uv[0] = [cam.cx, cam.cy]  # keypoint 0 = projection of (0, 0, 5)
+    valid[0] = True
+    hc, wc = cfg.grid_h, cfg.grid_w
+    f = FrameData(
+        frame_id=0, timestamp=0.0, uv=uv,
+        score=np.zeros(N, np.float32), response=np.zeros(N, np.float32),
+        valid=valid, cov2_inv=np.ones((N, 2), np.float32),
+        occ_grid=np.full((hc, wc), -1, np.int32), count=1,
+        desc_dev=jnp.asarray(desc),
+        dust_dev=jnp.zeros((hc, wc), jnp.float32),
+        occ_grid_dev=jnp.full((hc, wc), -1, jnp.int32))
+    f._desc_host = desc
+    f.set_pose(np.eye(4, dtype=np.float32))
+    kf = world.add_keyframe(f)
+
+    def mk_point(dmin, dmax, normal):
+        mp = world.create_point(np.array([0.0, 0.0, 5.0], np.float32),
+                                kf.kf_id)
+        world.pool.desc[mp.pid] = desc[0]
+        world.pool.min_dist[mp.pid] = dmin
+        world.pool.max_dist[mp.pid] = dmax
+        world.pool.normal[mp.pid] = np.asarray(normal, np.float32)
+        return mp
+
+    Scw = (np.eye(3), np.zeros(3), 1.0)  # = the KF pose (camera at origin)
+
+    # in-range: dist3 = 5 in [0.8*4, 1.2*6], normal toward the camera
+    good = mk_point(4.0, 6.0, [0, 0, 1.0])
+    assert looper._project_match(kf, Scw, [good.pid], radius=4.0) == \
+        {0: good.pid}
+
+    # off-depth duplicate: its scale-invariance band says it lives at ~1
+    # unit; seen at 5 it must NOT fuse (dist > 1.2*dmax)
+    off = mk_point(0.8, 1.0, [0, 0, 1.0])
+    assert looper._project_match(kf, Scw, [off.pid], radius=4.0) == {}
+
+    # off-normal duplicate: mean viewing ray points away (> 60 deg)
+    back = mk_point(4.0, 6.0, [0, 0, -1.0])
+    assert looper._project_match(kf, Scw, [back.pid], radius=4.0) == {}
+
+
 def test_pose_graph_ring():
     """Sim3 pose-graph optimizer on a drifted ring with one loop edge:
     odometry edges measure the true steps, the chain initialization drifts
