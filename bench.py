@@ -72,16 +72,27 @@ def main() -> None:
     prev_uv = jnp.asarray(rng.random((B, K, 2), np.float32) * 400)
     prev_valid = jnp.ones((B, K), bool)
 
-    # compile + warm
+    # capture protocol (round-4 hygiene): compile, then WARMUP iterations to
+    # absorb post-compile stragglers, then REPEATS timed blocks of ITERS
+    # each; the headline is the MEDIAN block (robust to tunnel hiccups),
+    # and the spread is printed so a drifting number is visible in the
+    # artifact instead of needing a NOTES forensic.
+    WARMUP, REPEATS, ITERS = 4, 5, 10
     feats, n = step(images, prev_desc, prev_uv, prev_valid)
     jax.block_until_ready(n)
-
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(WARMUP):
         feats, n = step(images, feats.desc, feats.uv, feats.valid)
     jax.block_until_ready(n)
-    dt = (time.perf_counter() - t0) / iters
+
+    block_dt = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            feats, n = step(images, feats.desc, feats.uv, feats.valid)
+        jax.block_until_ready(n)
+        block_dt.append((time.perf_counter() - t0) / ITERS)
+    block_dt.sort()
+    dt = block_dt[len(block_dt) // 2]
 
     fps = B / dt
     print(json.dumps({
@@ -89,6 +100,11 @@ def main() -> None:
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REF_FPS, 2),
+        "capture": {"batch": B, "warmup_iters": WARMUP, "repeats": REPEATS,
+                    "iters_per_repeat": ITERS,
+                    "fps_min": round(B / block_dt[-1], 2),
+                    "fps_median": round(fps, 2),
+                    "fps_max": round(B / block_dt[0], 2)},
     }))
     bench_tracking_step(cfg, extract_ms_per_frame=dt / B * 1e3)
 
@@ -154,12 +170,27 @@ def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
                                  ones_l, zeros_l, kp2mp0, kp_desc, kp_uv,
                                  kp_cov, kp_valid)
 
-    def timed(fn, iters=30):
-        fn()  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
+    # the production OK path (tracking._try_fused): coarse + fine as ONE
+    # device program / ONE roundtrip per frame
+    dust2local = np.arange(P_dust, dtype=np.int32)
+
+    def run_fused():
+        return k.fused_track(Tcw, pos_d, desc_d, ones_d, dust, occ,
+                             pos_l, desc_l, mp_normal, ones_l, dust2local,
+                             kp_desc, kp_uv, kp_cov, kp_valid)
+
+    def timed(fn, iters=10, repeats=3, warmup=3):
+        fn()  # compile
+        for _ in range(warmup):
             fn()
-        return (time.perf_counter() - t0) / iters * 1e3
+        blocks = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                fn()
+            blocks.append((time.perf_counter() - t0) / iters * 1e3)
+        blocks.sort()
+        return blocks[len(blocks) // 2]  # median block, robust to hiccups
 
     # per-call floor of this environment: one tiny upload + dispatch + one
     # tiny readback through the axon tunnel (a local chip pays ~none of it);
@@ -174,9 +205,13 @@ def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
         return np.asarray(null_fn(null_in))
 
     null_ms = timed(run_null)
+    fused_ms = timed(run_fused)
     dust_ms = timed(run_dust)
     local_ms = timed(run_local)
-    step_ms = extract_ms_per_frame + dust_ms + local_ms
+    # production OK path = amortized extraction + ONE fused coarse+fine
+    # program per frame (tracking._try_fused); the split dust/local stages
+    # are the fallback-cascade costs, reported for diagnostics
+    step_ms = extract_ms_per_frame + fused_ms
     # stderr: the driver contract is ONE JSON line on stdout (the headline
     # frames/s metric printed by main); this secondary metric rides stderr
     print(json.dumps({
@@ -186,8 +221,9 @@ def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
         # reference whole-pipeline budget is <= 50 ms/frame on its GPU
         "vs_baseline": round(50.0 / step_ms, 2),
         "stages_ms": {"extract_amortized": round(extract_ms_per_frame, 2),
-                      "dust_track": round(dust_ms, 2),
-                      "local_map_track": round(local_ms, 2),
+                      "fused_coarse_fine": round(fused_ms, 2),
+                      "dust_track_unfused": round(dust_ms, 2),
+                      "local_map_track_unfused": round(local_ms, 2),
                       "tunnel_roundtrip_floor": round(null_ms, 2)},
     }), file=sys.stderr)
 

@@ -118,6 +118,14 @@ class TrackingConfig:
     # alignment, the retained experimental trackFrameHeat variant,
     # tracker_dust.cpp:405-446)
     coarse_method: str = "dust"
+    # OK-path fast lane (TPU-native; no reference counterpart): run the
+    # dust coarse stage and the local-map fine stage as ONE device program
+    # per frame with the coarse->fine handoff in-graph and the local-map
+    # candidate set speculated from the previous frame's final bindings
+    # (tracking._try_fused / kernels.fused_track_body).  Halves the
+    # per-frame device roundtrips on the success path; False restores the
+    # two-call path (the fallback cascade always uses it).
+    fused_ok_path: bool = True
     heat_chi2_inlier: float = 0.02  # optimizer_dust.cpp:~500 (heat variant)
     create_kf_tracked_over_ref: float = 0.5
     create_kf_tracked_over_curr: float = 0.4

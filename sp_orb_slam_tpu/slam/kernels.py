@@ -438,6 +438,55 @@ def local_map_track_body(Tcw0, mp_pos, mp_desc_track, mp_normal,
                 n_inlier=res.n_inlier, mp_visible=to_match)
 
 
+def fused_track_body(Tcw_pred, dust_pos, dust_desc_track, dust_valid, dust,
+                     occ_grid, loc_pos, loc_desc_track, loc_normal, loc_valid,
+                     dust2local, kp_desc, kp_uv, kp_cov2_inv, kp_valid,
+                     K_intr, bounds, *, dust_iters, huber_delta, chi2_inlier,
+                     view_cos_th, window_th, match_adaptive, c2_thresh):
+    """The whole OK-path per-frame chain as ONE device program: dust coarse
+    alignment + association + post optimization (tracker_dust.cpp:22-228)
+    flowing straight into local-map tracking (tracker.cpp:561-832), with the
+    coarse->fine binding handoff done in-graph.
+
+    The two-call path pays TWO device roundtrips per frame because the fine
+    stage's inputs (pose, kp2mp0 bindings, skip mask) depend on the coarse
+    readback; over the axon tunnel each roundtrip has a ~25 ms floor while
+    the kernels execute in ~5 ms each (round-3 NOTES).  Here the dependency
+    never leaves the device: the host supplies the local-map candidate set
+    SPECULATIVELY (from the previous frame's final bindings — the set
+    changes slowly) plus `dust2local`, the mapping from dust-candidate index
+    to local-map index (-1 when the dust point is not in the speculated
+    set), and the glue computes kp2mp0/skip exactly as prepare_local_map
+    would from the dust result.  When the dust gates fail (decided host-side
+    from the returned stats, identical conditions) the fine half is simply
+    discarded and the fallback cascade runs as before.
+    """
+    d = dust_track_body(Tcw_pred, dust_pos, dust_desc_track, dust_valid,
+                        dust, occ_grid, kp_desc, kp_uv, kp_cov2_inv,
+                        kp_valid, K_intr, dust_iters=dust_iters,
+                        huber_delta=huber_delta, chi2_inlier=chi2_inlier)
+    # glue == prepare_local_map's host loops (tracking.py): kp2mp0 maps the
+    # dust bindings into local-map indices (outliers included — the two-call
+    # path builds kp2mp0 from frame.mp_ids which carries outliers too);
+    # skip = local points already bound by the coarse stage
+    kp2mp_dust = d["kp2mp"]
+    kp2mp0 = jnp.where(kp2mp_dust >= 0,
+                       dust2local[jnp.clip(kp2mp_dust, 0, None)],
+                       -1)
+    L = loc_pos.shape[0]
+    skip = jnp.any(kp2mp0[None, :] == jnp.arange(L)[:, None], axis=1)
+    f = local_map_track_body(
+        d["Tcw"], loc_pos, loc_desc_track, loc_normal, loc_valid, skip,
+        kp2mp0, kp_desc, kp_uv, kp_cov2_inv, kp_valid, K_intr, bounds,
+        view_cos_th=view_cos_th, window_th=window_th,
+        match_adaptive=match_adaptive, c2_thresh=c2_thresh)
+    out = {"d_" + k: v for k, v in d.items()}
+    out.update({"l_" + k: v for k, v in f.items()})
+    out["skip"] = skip
+    out["kp2mp0"] = kp2mp0
+    return out
+
+
 def init_body(kp1_desc, kp1_uv, kp1_valid, prev_uv, kp2_desc, kp2_uv,
               kp2_valid, K_intr, key, *, window, ratio, ransac_iters):
     """SearchForInitialization (win 100, ratio 0.9; mono_tracker.cpp:79-84)
@@ -649,6 +698,32 @@ class TrackingKernels:
                 c2_thresh=cfg.tracking.dust.c2_thresh)
             return self.local_layout.pack(**out)
 
+        # fused OK-path program: dust fields + local fields + the glue masks
+        self.fused_layout = Layout(
+            [("d_" + n, s, t) for n, s, t in self.dust_layout.specs]
+            + [("l_" + n, s, t) for n, s, t in self.local_layout.specs]
+            + [("skip", (L,), bool), ("kp2mp0", (K,), int)])
+
+        def _mk_fused(window):
+            def fused_fn(Tcw_pred, dust_pos, dust_desc_track, dust_valid,
+                         dust, occ_grid, loc_pos, loc_desc_track, loc_normal,
+                         loc_valid, dust2local, kp_desc, kp_uv, kp_cov2_inv,
+                         kp_valid):
+                out = fused_track_body(
+                    Tcw_pred, dust_pos, dust_desc_track, dust_valid, dust,
+                    occ_grid, loc_pos, loc_desc_track, loc_normal, loc_valid,
+                    dust2local, kp_desc, kp_uv, kp_cov2_inv, kp_valid,
+                    self.K_intr, self.bounds,
+                    dust_iters=d.iters, huber_delta=d.huber_delta,
+                    chi2_inlier=d.chi2_inlier, view_cos_th=m.th_view_cos,
+                    window_th=window, match_adaptive=m.match_adaptive,
+                    c2_thresh=cfg.tracking.dust.c2_thresh)
+                return self.fused_layout.pack(**out)
+            return fused_fn
+
+        fused_fn = _mk_fused(float(m.th_window_size))
+        fused_wide_fn = _mk_fused(float(m.th_window_retry))
+
         self.init_layout = Layout([
             ("ok", (), bool), ("used_h", (), bool), ("R21", (3, 3), float),
             ("t21", (3,), float), ("points", (K, 3), float),
@@ -693,6 +768,8 @@ class TrackingKernels:
         # per-buffer tunnel cost this kills); the batched fleet variants
         # are the same adapters' call_rows
         self._dust = PackedInput(dust_fn)
+        self._fused = PackedInput(fused_fn)
+        self._fused_wide = PackedInput(fused_wide_fn)
         self._heat = PackedInput(heat_fn)
         self._motion = PackedInput(motion_fn)
         self._ref = PackedInput(ref_fn)
@@ -744,6 +821,18 @@ class TrackingKernels:
 
     def dust_track(self, *args):
         return self.dust_layout.unpack(np.asarray(self._dust(*args)))
+
+    def fused_track(self, *args, wide: bool = False):
+        """One-roundtrip OK-path step; returns (dust_out, local_out) dicts
+        in the same field layout as dust_track / local_map_track, plus the
+        in-graph glue masks under local_out["skip"]/["kp2mp0"]."""
+        fn = self._fused_wide if wide else self._fused
+        flat = self.fused_layout.unpack(np.asarray(fn(*args)))
+        dust_out = {n: flat["d_" + n] for n, _, _ in self.dust_layout.specs}
+        local_out = {n: flat["l_" + n] for n, _, _ in self.local_layout.specs}
+        local_out["skip"] = flat["skip"]
+        local_out["kp2mp0"] = flat["kp2mp0"]
+        return dust_out, local_out
 
     def dust_track_batch(self, rows):
         """Batched dust stage: `rows` is a list of per-stream arg tuples;

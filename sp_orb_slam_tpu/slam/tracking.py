@@ -250,8 +250,113 @@ class Tracking:
     # ----------------------------------------------------------------- track
 
     def _track(self, frame: FrameData) -> None:
+        if self.state == OK:
+            self._try_fused(frame)
         ok, was_lost = self._track_coarse(frame)
         self._track_fine(frame, ok, was_lost)
+
+    def _try_fused(self, frame: FrameData) -> bool:
+        """OK-path fast lane: run coarse + fine as ONE device program
+        (kernels.fused_track) and stage both halves for the regular
+        consumption path (_track_dust / _track_local_map), cutting the
+        per-frame device roundtrips on the success path from two to one
+        (each costs ~25 ms over the axon tunnel; the reference's whole
+        budget is <= 50 ms/frame, system.cpp:141,190-192).
+
+        The fine half needs the local-map candidate set before the coarse
+        result exists, so the set is SPECULATED from the previous frame's
+        final bindings — the same bindings the dust gather itself seeds
+        from, so the coarse candidates are nearly always inside it; the
+        kernel's in-graph glue then derives kp2mp0/skip exactly as
+        prepare_local_map would.  When the dust gates fail the fine half is
+        discarded and the fallback cascade runs unchanged (costing the same
+        roundtrips it always did).  Localization mode keeps the two-call
+        path (its reloc-first arbitration reorders the stages).
+
+        Returns True when results were staged."""
+        if (not self.cfg.tracking.fused_ok_path or self.only_tracking
+                or self.cfg.tracking.coarse_method != "dust"
+                or self.last_frame is None):
+            return False
+        # _track_coarse runs this first in the two-call path; the dust
+        # gather below reads last_frame.mp_ids so it must happen up front
+        # here too (idempotent)
+        self._check_replaced_in_last_frame()
+        prep = self.prepare_dust(frame)
+        if prep is None:
+            self.staged_dust = (frame, None)
+            return True
+        pids, Tcw_pred, args = prep
+        spec = self._compute_local_map(self.last_frame.mp_ids)
+        if spec is None or not spec[0] or not spec[2]:
+            return False  # nothing to speculate: two-call path
+        local_kfs, kf_max, lpids = spec
+        L = self.cfg.runtime.local_points_cap
+        lpids = lpids[:L]
+        pid_to_local = {pid: i for i, pid in enumerate(lpids)}
+        pool = self.map.pool
+        n = len(lpids)
+        pos = np.zeros((L, 3), np.float32)
+        normal = np.zeros((L, 3), np.float32)
+        valid = np.zeros(L, bool)
+        rows = np.zeros(L, np.int32)
+        idx = np.asarray(lpids, np.int64)
+        pos[:n] = pool.pos[idx]
+        normal[:n] = pool.normal[idx]
+        rows[:n] = idx
+        valid[:n] = True
+        key = ("desc_track", L, id(pool), pool.bank_version("desc_track"),
+               tuple(lpids))
+        cached = self._desc_gather_cache.get(("desc_track", L))
+        if cached is not None and cached[0] == key:
+            ldesc = cached[1]
+        else:
+            ldesc = self.k.gather_rows(pool.device_bank("desc_track"),
+                                       rows, valid)
+            self._desc_gather_cache[("desc_track", L)] = (key, ldesc)
+        P = self.cfg.runtime.dust_points_cap
+        dust2local = np.full(P, -1, np.int32)
+        for di, p in enumerate(pids):
+            dust2local[di] = pid_to_local.get(p, -1)
+        wide = self.map.ba_epoch != self._seen_ba_epoch
+        out_d, out_f = self.k.fused_track(
+            args[0], args[1], args[2], args[3], args[4], args[5],
+            pos, ldesc, normal, valid, dust2local,
+            args[6], args[7], args[8], args[9], wide=wide)
+        self.staged_dust = (frame, (pids, Tcw_pred, out_d))
+        # replicate _track_dust's acceptance gates: the fine half is only
+        # staged when the coarse stage will be accepted (else the cascade
+        # re-tracks from a different pose and the fine result is void)
+        dcfg = self.cfg.tracking.dust
+        n_match = int(out_d["n_match"])
+        dust_ok = (int(out_d["n_coarse"]) >= dcfg.th_ninlier
+                   and n_match >= dcfg.th_nmatch
+                   and int(out_d["n_opt"]) / max(n_match, 1) > dcfg.th_ratio)
+        if not dust_ok:
+            return True
+        if wide:
+            self._seen_ba_epoch = self.map.ba_epoch
+        # commit the speculated local map (what _update_local_map would set)
+        self.local_kfs = local_kfs
+        self.ref_kf = kf_max
+        frame.ref_kf = kf_max
+        self.local_pids = lpids
+        # replay prepare_local_map's bound-point bookkeeping from the dust
+        # result (each point is claimed by at most one keypoint)
+        kp2mp = out_d["kp2mp"]
+        pid_arr = np.asarray(pids, np.int64)
+        for li in np.unique(kp2mp[kp2mp >= 0]):
+            mp = self.map.get_point(int(pid_arr[li]))
+            if mp is not None and not mp.bad:
+                mp.n_visible += 1
+                mp.last_frame_seen = frame.frame_id
+        skip = np.asarray(out_f["skip"], bool)
+        kp2mp0 = np.asarray(out_f["kp2mp0"], np.int64)
+        largs = (np.asarray(out_d["Tcw"], np.float32), pos, ldesc, normal,
+                 valid, skip, kp2mp0, args[6], args[7], args[8], args[9])
+        self.staged_local = (frame, {"pids": lpids, "n": n, "args": largs,
+                                     "wide": wide}, out_f)
+        return True
 
     def _track_coarse(self, frame: FrameData):
         self._check_replaced_in_last_frame()
@@ -716,51 +821,69 @@ class Tracking:
         :958-970), and its parent — whose branch `break`s the OUTER loop
         (:974-981), an ORB-SLAM2 quirk the reference preserves and so do
         we.  The 80-KF cap is checked at the top of each iteration."""
+        res = self._compute_local_map(frame.mp_ids, scrub_frame=frame)
+        if res is None:
+            return
+        local_kfs, kf_max, pids = res
+        self.local_kfs = local_kfs
+        if not local_kfs:
+            return
+        self.ref_kf = kf_max
+        frame.ref_kf = kf_max
+        self.local_pids = pids
+
+    def _compute_local_map(self, mp_ids: np.ndarray, scrub_frame=None):
+        """Pure local-map computation from a binding array (the body of
+        _update_local_map, factored so the fused OK path can speculate from
+        the PREVIOUS frame's final bindings without mutating tracker state).
+        Returns (local_kfs, kf_max, pids) — local_kfs may be empty — or
+        None when no observer counts exist.  When `scrub_frame` is given,
+        bad bindings are cleared from its mp_ids in place (the reference's
+        in-loop scrub, tracker.cpp:905-912)."""
         counter = {}
-        for i in np.nonzero(frame.mp_ids >= 0)[0]:
-            mp = self.map.get_point(int(frame.mp_ids[i]))
+        for i in np.nonzero(mp_ids >= 0)[0]:
+            mp = self.map.get_point(int(mp_ids[i]))
             if mp is None or mp.bad:
-                frame.mp_ids[i] = -1
+                if scrub_frame is not None:
+                    scrub_frame.mp_ids[i] = -1
                 continue
             for kid in mp.obs:
                 counter[kid] = counter.get(kid, 0) + 1
         if not counter:
-            return
-        self.local_kfs = [k for k in counter
-                          if (kf := self.map.keyframes.get(k)) is not None
-                          and not kf.bad]
-        if not self.local_kfs:
-            return
+            return None
+        local_kfs = [k for k in counter
+                     if (kf := self.map.keyframes.get(k)) is not None
+                     and not kf.bad]
+        if not local_kfs:
+            return local_kfs, -1, []
         # max-count anchor over *good* KFs only (the reference skips bad
         # KFs before the max update, tracker.cpp:920-929)
-        kf_max = max(self.local_kfs, key=counter.get)
-        marked = set(self.local_kfs)
-        for kid in list(self.local_kfs):
-            if len(self.local_kfs) > self.cfg.runtime.local_kfs_cap:
+        kf_max = max(local_kfs, key=counter.get)
+        marked = set(local_kfs)
+        for kid in list(local_kfs):
+            if len(local_kfs) > self.cfg.runtime.local_kfs_cap:
                 break
             kf = self.map.keyframes[kid]
             for nb in kf.best_covisible(20):
                 nkf = self.map.keyframes.get(nb)
                 if nkf is not None and not nkf.bad and nb not in marked:
-                    self.local_kfs.append(nb)
+                    local_kfs.append(nb)
                     marked.add(nb)
                     break
             for ch in kf.children:
                 ckf = self.map.keyframes.get(ch)
                 if ckf is not None and not ckf.bad and ch not in marked:
-                    self.local_kfs.append(ch)
+                    local_kfs.append(ch)
                     marked.add(ch)
                     break
             if kf.parent >= 0 and kf.parent not in marked:
-                self.local_kfs.append(kf.parent)
+                local_kfs.append(kf.parent)
                 marked.add(kf.parent)
                 break
-        self.ref_kf = kf_max
-        frame.ref_kf = kf_max
         # local points
         pids = []
         seen = set()
-        for kid in self.local_kfs:
+        for kid in local_kfs:
             kf = self.map.keyframes[kid]
             for pid in kf.mp_ids:
                 if pid >= 0 and pid not in seen:
@@ -768,7 +891,7 @@ class Tracking:
                     if mp is not None and not mp.bad:
                         seen.add(int(pid))
                         pids.append(mp.pid)
-        self.local_pids = pids
+        return local_kfs, kf_max, pids
 
     def prepare_local_map(self, frame: FrameData):
         """Host-side prep for the fine stage, split out so the fleet
