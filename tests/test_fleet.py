@@ -107,10 +107,16 @@ def test_fleet_three_streams():
         assert len(poses[i]) >= 4, (i, len(poses[i]))
     # maps are independent instances with independent content
     assert fleet.systems[0].map is not fleet.systems[1].map
-    # stream 1 ended early: its last pose differs in direction from stream 0
-    t0 = np.linalg.inv(poses[0][-1])[:3, 3]
-    t1 = np.linalg.inv(poses[1][-1])[:3, 3]
-    assert np.dot(t0[:1], t1[:1]) <= 0, (t0, t1)  # opposite x motion
+    # streams track different content: stream 1 moves -x where stream 0
+    # moves +x.  Assert on the FIRST post-init pose — it is determined by
+    # the two-view init geometry and is stable across solver numerics;
+    # the late trajectory on this deliberately weak rail (random extractor
+    # weights, low-contrast plane) is chaos-dominated and its direction is
+    # a coin flip (an f32 reordering in the LM solve flipped it once —
+    # round-4 forensic of commit ae7419a)
+    t0 = np.linalg.inv(poses[0][0])[:3, 3]
+    t1 = np.linalg.inv(poses[1][0])[:3, 3]
+    assert t0[0] * t1[0] < 0, (t0, t1)  # opposite x motion
 
 
 def test_fleet_batched_dust_matches_single_system():
