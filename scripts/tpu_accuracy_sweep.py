@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--online", action="store_true",
                     help="threaded-pipeline mode (mapper + looper on their "
                          "own threads; the reference protocol's regime)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="System.warmup() before each run: precompile every "
+                         "kernel variant so frame_ms_max measures the "
+                         "steady state, not first-hit compiles")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +84,8 @@ def main() -> None:
         ds = SyntheticDataset(cfg, n_frames=args.frames, n_points=5000,
                               seed=seed, pixel_noise=0.3)
         sys_ = System(cfg)
+        if args.warmup:
+            sys_.warmup()
         sys_.spin(ds)
         rep = sys_.report()
         ts_est, poses_est = sys_.trajectory()

@@ -801,6 +801,112 @@ class TrackingKernels:
 
         self._feat_fetch = feat_fetch_fn
 
+    def warmup(self, pool_capacity: int = 4096, ba: bool = True) -> None:
+        """Precompile every per-frame device program on its PRODUCTION call
+        pattern (the PackedInput host/device split and shapes must match
+        the real call sites exactly, or the compile happens again on first
+        real use).  Online-mode latency spikes of 650-7900 ms measured in
+        the round-3 sweeps (CPU_SWEEP_r3d) were all first-hit compiles of
+        kernel variants (wide/reloc/retry paths) landing mid-run; serving
+        deployments call this once before the first tick.
+
+        Dummy inputs are degenerate (zero descriptors, few valid entries)
+        — only shapes/dtypes/split matter for compilation."""
+        import jax
+
+        cfg = self.cfg
+        K = cfg.runtime.max_keypoints
+        P = cfg.runtime.dust_points_cap
+        L = cfg.runtime.local_points_cap
+        hc, wc = cfg.grid_h, cfg.grid_w
+        eye = np.eye(4, dtype=np.float32)
+
+        def val(n):
+            v = np.zeros(n, bool)
+            v[:4] = True
+            return v
+
+        val_k, val_d, val_l = val(K), val(P), val(L)
+        uv = np.zeros((K, 2), np.float32)
+        cov = np.ones((K, 2), np.float32)
+        pos_d = np.zeros((P, 3), np.float32)
+        pos_l = np.zeros((L, 3), np.float32)
+        pos_k = np.zeros((K, 3), np.float32)
+        normal_l = np.zeros((L, 3), np.float32)
+        dust = jnp.zeros((hc, wc), jnp.float32)
+        occ = jnp.full((hc, wc), -1, jnp.int32)
+        desc_k = jnp.zeros((K, 256), jnp.float32)
+
+        # descriptor gathers on their three production (bank, rows) shapes:
+        # pool bank -> dust/local point rows; a KF's (K, 256) descriptor
+        # block -> observation rows (the ref-KF/reloc path)
+        bank = jnp.zeros((pool_capacity, 256), jnp.float32)
+        desc_p = self.gather_rows(bank, np.zeros(P, np.int32), val_d)
+        desc_l = self.gather_rows(bank, np.zeros(L, np.int32), val_l)
+        desc_kf = self.gather_rows(desc_k, np.zeros(K, np.int32), val_k)
+
+        if cfg.tracking.coarse_method == "heat":
+            heat = jnp.zeros((cfg.camera.height, cfg.camera.width),
+                             jnp.float32)
+            self.heat_track(eye, pos_d, desc_p, val_d, heat, occ, desc_k,
+                            uv, cov, val_k)
+        else:
+            self.dust_track(eye, pos_d, desc_p, val_d, dust, occ, desc_k,
+                            uv, cov, val_k)
+        self.motion_track(eye, pos_l, desc_l, val_l, desc_k, uv, cov, val_k)
+        self.ref_track(eye, pos_k, desc_kf, val_k, desc_k, uv, cov, val_k)
+        T0s = np.tile(eye, (16, 1, 1))
+        self.reloc_track(T0s, pos_k, desc_kf, val_k, desc_k, uv, cov, val_k)
+        # the multi-start starvation rescue reuses the reloc kernel at the
+        # LOCAL-map cap (tracking._track_local_map), a distinct variant
+        self.reloc_track(T0s, pos_l, desc_l, val_l, desc_k, uv, cov, val_k)
+        kp2mp0 = np.full(K, -1, np.int64)
+        largs = (eye, pos_l, desc_l, normal_l, val_l, np.zeros(L, bool),
+                 kp2mp0, desc_k, uv, cov, val_k)
+        self.local_map_track(*largs)
+        self.local_map_track_wide(*largs)
+        if (cfg.tracking.fused_ok_path
+                and cfg.tracking.coarse_method == "dust"):
+            d2l = np.full(P, -1, np.int32)
+            fargs = (eye, pos_d, desc_p, val_d, dust, occ, pos_l, desc_l,
+                     normal_l, val_l, d2l, desc_k, uv, cov, val_k)
+            self.fused_track(*fargs, wide=False)
+            self.fused_track(*fargs, wide=True)
+        self.init_two_view(desc_k, uv, val_k, uv, desc_k, uv, val_k,
+                           jax.random.PRNGKey(0))
+        self.triangulate_pair(eye, eye, uv, desc_k, cov, val_k, uv, desc_k,
+                              cov, val_k)
+        self.fuse(eye, pos_l, desc_l, normal_l, np.zeros(L, np.float32),
+                  np.zeros(L, np.float32), val_l, uv, desc_k, val_k)
+        if ba:
+            from sp_orb_slam_tpu.optim import ba as ba_mod
+
+            C = cfg.runtime.ba_kfs_cap
+            Pb = cfg.runtime.ba_points_cap
+            O = cfg.runtime.ba_obs_cap
+            res = ba_mod.bundle_adjust(
+                np.tile(eye, (C, 1, 1)), np.ones(C, bool),
+                np.zeros((Pb, 3), np.float32), np.zeros(Pb, bool),
+                np.zeros(O, np.int32), np.zeros(O, np.int32),
+                np.zeros((O, 2), np.float32), np.ones((O, 2), np.float32),
+                np.zeros(O, bool), self.K_intr,
+                iters1=5, iters2=10, two_phase=True, robust=True)
+            jax.block_until_ready(res)
+            # likely init-time global-BA buckets (2 KFs, pow2 point/obs
+            # caps, solve_global_ba iters=20) — otherwise the init GBA
+            # compiles mid-initialization and lands in the frame tail
+            for Pb2, O2 in ((128, 256), (256, 512), (512, 1024),
+                            (1024, 2048)):
+                res = ba_mod.bundle_adjust(
+                    np.tile(eye, (2, 1, 1)), np.asarray([True, False]),
+                    np.zeros((Pb2, 3), np.float32), np.zeros(Pb2, bool),
+                    np.zeros(O2, np.int32), np.zeros(O2, np.int32),
+                    np.zeros((O2, 2), np.float32),
+                    np.ones((O2, 2), np.float32),
+                    np.zeros(O2, bool), self.K_intr,
+                    iters1=20, two_phase=False, robust=True)
+            jax.block_until_ready(res)
+
     def fetch_features_host(self, feats, b: int = 0) -> dict:
         """One packed transfer of the per-frame host mirrors (the reference
         copies six tensors to the CPU per frame, sp_extractor.cpp:427-433;

@@ -143,6 +143,25 @@ class System:
     def _build_preprocess(self):
         return build_preprocess(self.cfg)
 
+    def warmup(self) -> None:
+        """Precompile every device program this system can hit before the
+        first frame (kernels.TrackingKernels.warmup + the extractor at
+        B=1): online-mode latency spikes are first-hit compiles landing
+        mid-run (round-3 sweeps measured 650-7900 ms tails), so serving
+        paths warm up front and the per-frame tail stays kernel-bound."""
+        import jax
+        import jax.numpy as jnp
+
+        self.kernels.warmup(pool_capacity=self.map.pool.capacity)
+        if self._extract is not None:
+            H, W = self.cfg.camera.height, self.cfg.camera.width
+            img = jnp.zeros((H, W), jnp.float32)
+            if self._preprocess is not None:
+                img = self._preprocess(img)
+            feats = self._extract(img[None])
+            self.kernels.fetch_features_host(feats)
+            jax.block_until_ready(feats.desc)
+
     def _make_global_desc_fn(self):
         """In-process NetVLAD place-recognition hook (models/netvlad.py):
         runs at keyframe promotion in Map.add_keyframe.  "auto" fills only
