@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="synthetic",
-                    help="synthetic | euroc | tsukuba | export")
+                    help="synthetic | rendered | euroc | tsukuba | export")
+    ap.add_argument("--loop", action="store_true",
+                    help="enable loop closing (computed place-recognition "
+                         "descriptors; the rendered dress-rehearsal rail)")
     ap.add_argument("--data-path", default="")
     ap.add_argument("--model-path", default="",
                     help="SuperPoint weights (.npz); required for image datasets")
@@ -47,6 +50,9 @@ def main() -> None:
         cfg = Config()
     overrides = {"dataset": args.dataset, "data_path": args.data_path,
                  "online": bool(args.online)}
+    if args.loop:
+        overrides["use_loop"] = True
+        overrides["loop"] = {"use_loop": True, "global_desc_source": "vlad"}
     if args.dataset.startswith("tsukuba"):
         overrides["eval_failure_threshold"] = 100.0  # cm-scale GT
         overrides["camera"] = {"width": 640, "height": 480, "fx": 615.0,
@@ -69,6 +75,9 @@ def main() -> None:
         params = weights.load_checkpoint(args.model_path)
     elif not args.dataset.startswith(("synthetic", "export")):
         ap.error("--model-path required for image datasets")
+
+    if args.dataset.startswith("rendered") and not args.seqs:
+        seqs = ["0", "1", "2"]
 
     out = batch.evaluate(cfg, seqs, runs=args.runs, params=params,
                          out_dir=args.out, max_frames=args.max_frames)

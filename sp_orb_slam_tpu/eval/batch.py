@@ -106,6 +106,13 @@ def run_once(cfg: Config, seq: str, run_idx: int, params=None,
         # sequences are seeds; each run perturbs the seed like the
         # reference's nondeterministic re-runs explore the noise space
         dataset = SyntheticDataset(cfg, seed=int(seq) * 1000 + run_idx)
+    elif cfg.dataset.lower().startswith("rendered"):
+        # rendered rooms: the sequence is the texture seed (a different
+        # room per sequence); runs vary the sensor-noise seed, mirroring
+        # how the reference's threaded nondeterminism varies its re-runs
+        from sp_orb_slam_tpu.io.render import RenderedDataset
+
+        dataset = RenderedDataset(cfg, seed=int(seq), noise_seed=run_idx)
     else:
         dataset = make_dataset(_merge_dataclass(cfg, {"seq": seq}))
 

@@ -458,4 +458,11 @@ def make_dataset(cfg: Config):
                               if cfg.seq else cfg.data_path)
     if name.startswith("synthetic"):
         return SyntheticDataset(cfg)
+    if name.startswith("rendered"):
+        # the image-path dress-rehearsal dataset (io/render.py): seq is the
+        # texture seed; a closed-loop trajectory by default so the full
+        # sequence exercises loop closure
+        from sp_orb_slam_tpu.io.render import RenderedDataset
+
+        return RenderedDataset(cfg, seed=int(cfg.seq or 0), noise_seed=0)
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
