@@ -35,6 +35,32 @@ from sp_orb_slam_tpu.io.dataset import (RawFrame, _loop_trajectory,
                                         _smooth_trajectory)
 
 
+def _rendered_loop_trajectory(n: int, lead: int = 45) -> np.ndarray:
+    """The image-rail loop trajectory: a lateral out-and-back strafe
+    lead-in, then the closed circle of _loop_trajectory.
+
+    The bare circle (camera yawing along the tangent) is rotation-dominant:
+    image flow from rotation cancels the translation flow near the center,
+    so a monocular init can never accumulate triangulation parallax
+    (measured: median 1.2 deg after 23 frames — under the 2 deg poison
+    gate).  Real MAV benchmark sequences begin with exactly this kind of
+    translation wiggle so mono systems can bootstrap (EuRoC's hover
+    segments); the injected-feature rail doesn't need it because its
+    matches survive unlimited view rotation, letting baseline accumulate
+    forever.  The strafe ends where the circle starts, so the sequence
+    still closes its loop (end-of-circle frames re-observe the start)."""
+    lead = min(lead, n // 4)
+    poses = []
+    for i in range(lead):
+        t = i / max(lead, 1)
+        T = np.eye(4, dtype=np.float32)
+        # pure lateral strafe facing the far wall: clean init parallax
+        T[:3, 3] = [-0.35 * np.sin(np.pi * t), 0.02 * np.sin(2 * np.pi * t),
+                    0.0]
+        poses.append(T)
+    return np.concatenate([np.stack(poses), _loop_trajectory(n - lead)])
+
+
 def _make_noise_grids(rng: np.random.Generator, octaves: int = 5,
                       base: int = 10):
     """Random value-noise lattices, one per octave.
@@ -104,7 +130,7 @@ class RenderedDataset:
         self.K = np.array([cam.fx, cam.fy, cam.cx, cam.cy], np.float32)
         self.H, self.W = cam.height, cam.width
         if trajectory == "loop":
-            self.poses = _loop_trajectory(n_frames)
+            self.poses = _rendered_loop_trajectory(n_frames)
         else:
             self.poses = _smooth_trajectory(n_frames)
         rng = np.random.default_rng(seed)
