@@ -51,6 +51,7 @@ def main() -> None:
             nms_iters=cfg.extractor.nms_iters,
             cov_radius=cfg.extractor.cov_window,
             cov_iters=cfg.extractor.cov_iters,
+            with_heat_inv=False,  # dead 46 MB output otherwise (r4 tail work)
             compute_dtype=jnp.bfloat16,
         )
 

@@ -77,7 +77,10 @@ def main() -> None:
         ap.error("--model-path required for image datasets")
 
     if args.dataset.startswith("rendered") and not args.seqs:
-        seqs = ["0", "1", "2"]
+        # held-out rooms: superpoint_train.build_pool trains on texture
+        # seeds 0-3, so the benchmark set must be disjoint or the frontend
+        # is evaluated on its own training scenes
+        seqs = ["4", "5", "6"]
 
     out = batch.evaluate(cfg, seqs, runs=args.runs, params=params,
                          out_dir=args.out, max_frames=args.max_frames)

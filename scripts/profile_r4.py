@@ -90,11 +90,14 @@ def main():
             if stage == "convs":
                 return semi, coarse
 
-            dense = jax.nn.softmax(semi, axis=-1)
-            dense_dust = dense[..., 64]
-            nodust = dense[..., :64]
-            score = jnp.max(nodust, axis=-1)
-            idx = jnp.argmax(nodust, axis=-1).astype(jnp.int32)
+            # lse formulation (models/superpoint.py round-4): no dense
+            # softmax materialization
+            lse = jax.scipy.special.logsumexp(semi, axis=-1)
+            semi_nodust = semi[..., :64]
+            dense_dust = jnp.exp(semi[..., 64] - lse)
+            cellmax = jnp.max(semi_nodust, axis=-1)
+            score = jnp.exp(cellmax - lse)
+            idx = jnp.argmax(semi_nodust, axis=-1).astype(jnp.int32)
             dy, dx = idx // cell, idx % cell
             cell_v = jax.lax.broadcasted_iota(jnp.int32, (B, hc, wc), 1) * cell
             cell_u = jax.lax.broadcasted_iota(jnp.int32, (B, hc, wc), 2) * cell
@@ -103,9 +106,12 @@ def main():
             if stage == "softmax":
                 return dense_dust, score, cand_uv, coarse
 
-            heat_log = jnp.log(jnp.clip(nodust, 1e-3, None))
-            mn = jnp.min(-heat_log, axis=(1, 2, 3)).reshape(B, 1, 1)
-            mx = jnp.max(-heat_log, axis=(1, 2, 3)).reshape(B, 1, 1)
+            log_eps = jnp.log(jnp.float32(1e-3))
+            heat_log = jnp.maximum(semi_nodust - lse[..., None], log_eps)
+            mn = -jnp.max(jnp.maximum(cellmax - lse, log_eps),
+                          axis=(1, 2)).reshape(B, 1, 1)
+            mx = -jnp.min(jnp.maximum(jnp.min(semi_nodust, axis=-1) - lse,
+                                      log_eps), axis=(1, 2)).reshape(B, 1, 1)
             hf = heat_log.reshape(B, hc, wc, cell, cell)
             hf = jnp.transpose(hf, (0, 1, 3, 2, 4)).reshape(B, H, W)
             heat_inv = (mx + hf) / (mx - mn)

@@ -46,14 +46,21 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             cov_radius: int = 8, cov_iters: int = 16,
             cov_method: str = "auto", nms_method: str = "auto",
             desc_method: str = "auto", conv_packing: str = "auto",
-            with_heat: bool = False, emission: str = "sort",
+            with_heat: bool = False, with_heat_inv: bool = True,
+            emission: str = "sort",
             compute_dtype=jnp.float32) -> Features:
     """images: (B, H, W) float32 in [0, 1].
 
     `with_heat=False` (default) skips the full-res `heat` output — only the
     heat-alignment coarse-tracker variant reads it (a (B, H, W) f32 output
     is ~46 MB per 32-image batch; measured perf-neutral, kept off for the
-    memory).  `heat_inv` (covariance input) is always produced.
+    memory).  `with_heat_inv=False` additionally drops `heat_inv` from the
+    RETURNED Features (it is still computed in-graph when the covariance
+    stage consumes it): nothing downstream of the extractor reads it, and
+    keeping a dead 46 MB/batch program output costs a measured ~1.2
+    ms/batch at B=32 (round-4 profile_cov_r4c).  Production call sites
+    (bench, fleet, System) pass False; the default stays True for the
+    golden tests and ad-hoc inspection.
     """
     if cov_radius > border:
         # keypoint_covariance gathers a (2r+1)^2 window centered on the
@@ -72,9 +79,14 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
                                      and jax.default_backend() == "tpu"
                                      and H % 8 == 0 and W % 2 == 0)
                         else "none")
+    if cov_method == "auto":
+        cov_method = ("pallas" if jax.default_backend() == "tpu"
+                      else "windowed")
     out = superpoint.forward(params, images, conf_thresh=conf_thresh,
                              conv_packing=conv_packing,
                              with_heat=with_heat,
+                             with_heat_inv=(with_heat_inv
+                                            or cov_method != "none"),
                              compute_dtype=compute_dtype)
 
     if nms_method == "auto":
@@ -141,9 +153,6 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
                                 image_hw=(H, W)))(out.coarse_desc, kps.uv)
     desc = jnp.where(kps.valid[..., None], desc, 0.0)
 
-    if cov_method == "auto":
-        cov_method = ("pallas" if jax.default_backend() == "tpu"
-                      else "windowed")
     if cov_method == "none":
         # ablation hook for stage profiling (scripts/profile_r3.py): unit
         # covariance, response = 0
@@ -168,7 +177,8 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
 
     return Features(kps.uv, kps.score, response, kps.valid, desc, cov2,
                     cov2_inv, kps.occ_grid, out.dense_dust, out.semi_dust,
-                    out.heat, out.heat_inv, kps.count)
+                    out.heat, out.heat_inv if with_heat_inv else None,
+                    kps.count)
 
 
 def make_extractor(cfg: Config, params):
@@ -188,6 +198,7 @@ def make_extractor(cfg: Config, params):
             cov_method=ex.cov_method, nms_method=ex.nms_method,
             desc_method=ex.desc_method, conv_packing=ex.conv_packing,
             with_heat=(cfg.tracking.coarse_method == "heat"),
+            with_heat_inv=False,  # no production consumer (see extract doc)
             compute_dtype=dtype)
 
     return run

@@ -50,6 +50,8 @@ def _rendered_loop_trajectory(n: int, lead: int = 45) -> np.ndarray:
     forever.  The strafe ends where the circle starts, so the sequence
     still closes its loop (end-of-circle frames re-observe the start)."""
     lead = min(lead, n // 4)
+    if lead == 0:  # tiny sequences (training pools render single frames)
+        return _loop_trajectory(n)
     poses = []
     for i in range(lead):
         t = i / max(lead, 1)
@@ -61,7 +63,7 @@ def _rendered_loop_trajectory(n: int, lead: int = 45) -> np.ndarray:
     return np.concatenate([np.stack(poses), _loop_trajectory(n - lead)])
 
 
-def _make_noise_grids(rng: np.random.Generator, octaves: int = 5,
+def _make_noise_grids(rng: np.random.Generator, octaves: int = 6,
                       base: int = 10):
     """Random value-noise lattices, one per octave.
 
@@ -71,8 +73,14 @@ def _make_noise_grids(rng: np.random.Generator, octaves: int = 5,
     degenerates — with near-constant features across a cell, the 64-way
     in-cell softmax argmax pins keypoints to the CELL LATTICE instead of
     the content (measured: 97% of keypoints at identical pixels across an
-    8 px inter-frame shift).  base=10/octaves=5 puts the finest lattice at
-    ~5.6 cm on a 9 m wall = 2.4-4.8 px at the 3-6 m viewing range."""
+    8 px inter-frame shift).  And the detail must span the full viewing-
+    distance range: with 5 octaves (finest lattice 5.6 cm = 8 px at the
+    loop trajectory's 2.5 m closest wall approach) the detector collapses
+    to 10-15 keypoints exactly when the camera faces a near wall head-on
+    (measured round 4: frames 105/240 of the loop, vs 801 at 4.5-6.5 m) —
+    the single-level extractor only learns corners at the scale it was
+    shown.  octaves=6 adds a 2.8 cm lattice: 4 px at 2.5 m, ~1.5 px
+    (mildly aliased, like any real fine texture) at 6.5 m."""
     return [rng.standard_normal((base * 2 ** o + 1, base * 2 ** o + 1))
             .astype(np.float32) for o in range(octaves)]
 

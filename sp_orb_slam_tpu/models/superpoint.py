@@ -189,6 +189,7 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
             conf_thresh: float = 0.007, cell: int = 8,
             conv_packing: str = "none",
             with_heat: bool = True,
+            with_heat_inv: bool = True,
             compute_dtype=jnp.float32) -> FrontendOut:
     """Run the frontend on images (B, H, W) float32 in [0, 1].
 
@@ -245,35 +246,55 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
     coarse = _conv(cDa, params["convDb"], relu=False).astype(jnp.float32)  # (B, hc, wc, 256)
     coarse = coarse / jnp.linalg.norm(coarse, axis=-1, keepdims=True)
 
-    dense = jax.nn.softmax(semi, axis=-1)
+    # log-sum-exp formulation of the softmax head (round-4 tail work): the
+    # old path materialized the full (B, hc, wc, 65) softmax — lane-padded
+    # 65 -> 128, so every pass over it cost double — only to take the max /
+    # dustbin / log of it.  softmax is monotone in the logits, so
+    #   argmax(softmax)       == argmax(semi[..., :64])
+    #   max(softmax)          == exp(cellmax - lse)
+    #   softmax[..., 64]      == exp(semi_dust - lse)
+    #   log(clip(softmax, p)) == max(semi - lse, log p)
+    # and the big tensor never exists.  Values differ from the exp-then-
+    # log/max route only at the ~1 ulp level (the subtraction form is the
+    # numerically better one); all golden tolerances are >= 1e-6.
+    lse = jax.scipy.special.logsumexp(semi, axis=-1)       # (B, hc, wc)
+    semi_nodust = semi[..., :64]  # channel c <-> in-cell (dy=c//8, dx=c%8)
     semi_dust = semi[..., 64]
-    dense_dust = dense[..., 64]
-    nodust = dense[..., :64]  # channel c <-> in-cell offset (dy=c//8, dx=c%8)
+    dense_dust = jnp.exp(semi_dust - lse)
 
-    score = jnp.max(nodust, axis=-1)
-    idx = jnp.argmax(nodust, axis=-1).astype(jnp.int32)
+    cellmax = jnp.max(semi_nodust, axis=-1)
+    score = jnp.exp(cellmax - lse)
+    idx = jnp.argmax(semi_nodust, axis=-1).astype(jnp.int32)
     dy, dx = idx // cell, idx % cell
     cell_v = jax.lax.broadcasted_iota(jnp.int32, (B, hc, wc), 1) * cell
     cell_u = jax.lax.broadcasted_iota(jnp.int32, (B, hc, wc), 2) * cell
     cand_uv = jnp.stack([cell_u + dx, cell_v + dy], axis=-1)
     cand_valid = score >= conf_thresh
 
-    # full-res log-prob heat + the host wrapper's normalization
-    # (sp_extractor.cpp:128-131, 466-478): img = -log(clamp(p, 1e-3));
-    # heat = (img - min) / (max - min), heat_inv = 1 - heat.
-    # The min/max reduce runs on the cell layout BEFORE the pixel-shuffle
-    # transpose (same values, cheaper access pattern), and `heat` — used
-    # only by the heat-alignment tracker variant — is materialized only on
-    # request (a full-res (B, H, W) f32 output is ~46 MB per 32-image
-    # batch; measured perf-neutral, skipped for the memory).
-    heat_log = jnp.log(jnp.clip(nodust, 1e-3, None))
-    mn = jnp.min(-heat_log, axis=(1, 2, 3)).reshape(B, 1, 1)
-    mx = jnp.max(-heat_log, axis=(1, 2, 3)).reshape(B, 1, 1)
-    # pixel_shuffle(x, 8): out[v*8+dy, u*8+dx] = in[dy*8+dx] at cell (v, u)
-    heat_full = heat_log.reshape(B, hc, wc, cell, cell)
-    heat_full = jnp.transpose(heat_full, (0, 1, 3, 2, 4)).reshape(B, H, W)
-    heat_inv = (mx + heat_full) / (mx - mn)  # == 1 - (-heat_full - mn)/(mx - mn)
-    heat = (1.0 - heat_inv) if with_heat else None
+    if with_heat or with_heat_inv:
+        # full-res log-prob heat + the host wrapper's normalization
+        # (sp_extractor.cpp:128-131, 466-478): img = -log(clamp(p, 1e-3));
+        # heat = (img - min) / (max - min), heat_inv = 1 - heat.
+        # The per-image min/max come from CELL-level reductions (min/max
+        # over pixels of clip(semi - lse) = clip(cellmax/cellmin - lse),
+        # since clip is monotone) — no full-resolution reduction pass.
+        # `heat` — used only by the heat-alignment tracker variant — is
+        # materialized only on request (a (B, H, W) f32 output is ~46 MB
+        # per 32-image batch), and heat_inv itself is skippable when the
+        # caller only consumes it inside the graph (extractor cov stage).
+        log_eps = jnp.log(jnp.float32(1e-3))
+        heat_log = jnp.maximum(semi_nodust - lse[..., None], log_eps)
+        mn = -jnp.max(jnp.maximum(cellmax - lse, log_eps),
+                      axis=(1, 2)).reshape(B, 1, 1)
+        mx = -jnp.min(jnp.maximum(jnp.min(semi_nodust, axis=-1) - lse,
+                                  log_eps), axis=(1, 2)).reshape(B, 1, 1)
+        # pixel_shuffle(x, 8): out[v*8+dy, u*8+dx] = in[dy*8+dx] @ cell (v, u)
+        heat_full = heat_log.reshape(B, hc, wc, cell, cell)
+        heat_full = jnp.transpose(heat_full, (0, 1, 3, 2, 4)).reshape(B, H, W)
+        heat_inv = (mx + heat_full) / (mx - mn)  # == 1 - (-hf - mn)/(mx - mn)
+        heat = (1.0 - heat_inv) if with_heat else None
+    else:
+        heat = heat_inv = None
 
     return FrontendOut(semi_dust, dense_dust, score, cand_uv, cand_valid,
                        coarse, heat, heat_inv)

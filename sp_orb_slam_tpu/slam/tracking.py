@@ -676,6 +676,14 @@ class Tracking:
             cands.append(self.ref_kf)
         alive = sorted(k for k, kf in self.map.keyframes.items()
                        if not kf.bad)
+        if frame.global_desc is None and self.map.global_desc_fn is not None:
+            # image datasets only compute the place-recognition descriptor
+            # at KF promotion (Map.add_keyframe); a LOST query frame needs
+            # it NOW or the far-candidate channel below is dead and reloc
+            # wedges on the most recent (often degraded) KFs — measured on
+            # the rendered loop rail: 190 descriptor matches to a healthy
+            # early KF that was never attempted
+            frame.global_desc = self.map.global_desc_fn(frame)
         cands += [k for k in reversed(alive[-5:]) if k not in cands]
         if frame.global_desc is not None:
             scored = []
