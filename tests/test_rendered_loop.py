@@ -1,0 +1,61 @@
+"""Image-path loop closure, end to end (VERDICT r3 weak #5 / next #9).
+
+The full production pipeline on REAL images: ray-cast rendered frames ->
+trained SuperPoint (weights/sp_rendered.npz) -> tracking/mapping -> loop
+DETECTION from NetVLAD descriptors computed over the extractor's own
+output -> Sim3 + essential-graph correction + GBA.  No injected features,
+no dataset-provided place-recognition descriptors anywhere.
+
+Reference path being mirrored: loop_closer_vlad.cpp:120-255 driven by
+data_loader.cc's precomputed .bin descriptors; here the descriptors are
+computed in-process (models/netvlad.py), which the reference never ships.
+
+Reduced 376x240 operating point keeps this ~5 min on CPU; the full-res
+protocol runs in scripts/tpu_r4e_measure.sh (expr/rendered_r4).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sp_orb_slam_tpu.config import Config, _merge_dataclass
+
+WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "weights", "sp_rendered.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(WEIGHTS),
+                    reason="trained checkpoint not present")
+def test_rendered_loop_closes():
+    from sp_orb_slam_tpu.eval.ate import ate_sim3
+    from sp_orb_slam_tpu.io.render import RenderedDataset
+    from sp_orb_slam_tpu.models.weights import load_checkpoint
+    from sp_orb_slam_tpu.slam.system import System
+
+    cfg = _merge_dataclass(Config(), {
+        "use_loop": True,
+        "loop": {"use_loop": True},
+        "camera": {"width": 376, "height": 240, "fx": 178.05, "fy": 209.0,
+                   "cx": 181.38, "cy": 125.09},
+    })
+    params = load_checkpoint(WEIGHTS)
+    # held-out room (training scenes are texture seeds 0-3)
+    ds = RenderedDataset(cfg, n_frames=220, seed=5, noise_seed=0)
+    sysm = System(cfg, params=params)
+    sysm.spin(ds)
+
+    rep = sysm.report()
+    # tracking health: init within the strafe lead-in, then never lost
+    # (calibration run: 206/220 tracked, 0 LOST, 48 KFs, ATE 0.086)
+    assert rep["n_frames"] >= 180
+    assert rep["n_lost"] == 0
+    assert rep["n_fail_dust"] <= rep["n_frames"] * 0.1
+
+    # the loop actually closed, from computed place recognition
+    assert sysm.looper.n_loops_closed >= 1
+
+    ts, poses = sysm.trajectory()
+    tg, pg = ds.gt_trajectory()
+    res = ate_sim3(ts, poses[:, :3, 3], tg, pg[:, :3, 3])
+    assert float(res.rmse) < 0.2  # radius-2 circle; calibration 0.086
