@@ -11,8 +11,20 @@
 set -e
 cd "$(dirname "$0")/.."
 
+# The pool wedges transiently after a killed claim (verify skill: recovery
+# 5-10 min); a single fatal probe killed two launches of this batch.  Retry
+# with waits, and give each probe long enough that we never kill it
+# mid-claim (which re-wedges the pool).
 echo "== probe =="
-timeout 300 python -c "import jax, jax.numpy as jnp; print((jnp.ones((128,128))@jnp.ones((128,128))).block_until_ready()[0,0])"
+ok=0
+for i in 1 2 3 4 5 6; do
+  if timeout 600 python -c "import jax, jax.numpy as jnp; print((jnp.ones((128,128))@jnp.ones((128,128))).block_until_ready()[0,0])"; then
+    ok=1; break
+  fi
+  echo "probe attempt $i failed; waiting 300 s for pool recovery"
+  sleep 300
+done
+[ "$ok" = 1 ] || { echo "pool never recovered; aborting batch"; exit 1; }
 
 echo "== 1. bench =="
 timeout 7200 python bench.py
