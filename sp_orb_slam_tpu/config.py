@@ -316,6 +316,10 @@ class RuntimeConfig:
     ba_obs_cap: int = 16384             # local-BA observation cap
     init_ransac_iters: int = 200        # initializer.cpp RANSAC mMaxIterations
     streams: int = 1                    # batched parallel streams per chip
+    prefetch_extract: bool = True       # single-stream spin: dispatch frame
+    #   t+1's extraction before frame t's mapping/loop host work so device
+    #   compute + the d2h roundtrip overlap the host spin (bit-identical:
+    #   extraction is a pure jit function of the image)
 
 
 @dataclass(frozen=True)

@@ -133,6 +133,8 @@ class System:
         self.viewer = None               # live HTTP viewer (viz/live.py)
         self._extract = None
         self._preprocess = None
+        self._prefetched = None          # (raw, feats device handles) in flight
+        self._next_raw = None            # spin's lookahead frame, if any
         if params is not None:
             from sp_orb_slam_tpu.extractor import make_extractor
 
@@ -206,10 +208,13 @@ class System:
         f._desc_host = inj["desc"]
         return f
 
-    def _frame_from_image(self, raw: RawFrame) -> FrameData:
+    def _dispatch_extract(self, raw: RawFrame):
+        """Enqueue the extractor program for ``raw`` and return the device
+        handles WITHOUT reading anything back.  jit dispatch is async, so
+        the caller can overlap the device execution (and, over the axon
+        tunnel, the d2h roundtrip) with host work.  Pure function of the
+        image: prefetched results are bit-identical to inline extraction."""
         import jax.numpy as jnp
-
-        from sp_orb_slam_tpu.slam.frame import frame_from_features
 
         img = raw.image.astype(np.float32) / 255.0
         # crop to the configured size (system.cpp:160-161)
@@ -218,7 +223,16 @@ class System:
         dev = jnp.asarray(img)
         if self._preprocess is not None:
             dev = self._preprocess(dev)
-        feats = self._extract(dev[None])
+        return self._extract(dev[None])
+
+    def _frame_from_image(self, raw: RawFrame) -> FrameData:
+        from sp_orb_slam_tpu.slam.frame import frame_from_features
+
+        if self._prefetched is not None and self._prefetched[0] is raw:
+            feats = self._prefetched[1]
+        else:
+            feats = self._dispatch_extract(raw)
+        self._prefetched = None
         host = self.kernels.fetch_features_host(feats)
         f = frame_from_features(feats, 0, self.frame_id, raw.timestamp, host)
         f.global_desc = raw.global_desc
@@ -251,6 +265,16 @@ class System:
         offline mapping/loop spins, frame counting.  Split out so the
         fleet's phased drive (slam/fleet.py) can run it after
         track_frame_fine."""
+        # prefetch: enqueue the NEXT frame's extraction before this frame's
+        # host-side work (debug PNG encode, mapping/loop spins) so the
+        # device executes it — and its d2h roundtrip flies — while the host
+        # is busy.  Safe across reset/pause/toggles: extraction is a pure
+        # jit function of the image, consumed (or dropped) by id match.
+        nxt = self._next_raw
+        if (nxt is not None and self.cfg.runtime.prefetch_extract
+                and nxt.injected is None and self._extract is not None
+                and self._prefetched is None):
+            self._prefetched = (nxt, self._dispatch_extract(nxt))
         if self.debug_dir is not None and raw is not None:
             self._write_debug(raw, frame)
         if self.viewer is not None:
@@ -385,9 +409,18 @@ class System:
     def spin(self, dataset=None, max_frames: Optional[int] = None) -> None:
         if dataset is None:
             dataset = make_dataset(self.cfg)
-        for i, raw in enumerate(dataset):
+        it = iter(dataset)
+        raw = next(it, None)
+        i = 0
+        while raw is not None:
             if max_frames is not None and i >= max_frames:
                 break
+            # one-frame lookahead feeds the extraction prefetch dispatched
+            # inside _post_track (overlaps device work with the host spins)
+            nxt = next(it, None)
+            if max_frames is not None and i + 1 >= max_frames:
+                nxt = None
+            self._next_raw = nxt
             # pause/step gate (the reference spin's b_pause/b_step check,
             # system.cpp:146-158) + pending mode toggles
             if self.paused and not self.step_once:
@@ -398,6 +431,10 @@ class System:
             self.step_once = False
             self._apply_pending_toggles()
             self.process(raw)
+            raw = nxt
+            i += 1
+        self._next_raw = None
+        self._prefetched = None
         if self.cfg.online:
             self.shutdown()
 

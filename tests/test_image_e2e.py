@@ -124,3 +124,51 @@ def test_image_pipeline_end_to_end():
     assert rep["n_keyframes"] >= 4, rep
     assert rep["n_points"] > 80, rep
     assert rep["n_frames"] >= n // 2, rep  # tracked at least half post-init
+
+
+@pytest.mark.slow
+def test_extraction_prefetch_bit_identical():
+    """spin with the extraction prefetch (dispatch frame t+1's extractor
+    program before frame t's mapping host work) equals the unprefetched
+    spin bit-for-bit: extraction is a pure jit function of the image, so
+    overlap must change WHEN it runs, never WHAT it returns."""
+    import jax
+
+    from sp_orb_slam_tpu.io.dataset import RawFrame
+    from sp_orb_slam_tpu.models import superpoint
+    from sp_orb_slam_tpu.slam.system import System
+
+    rays = _distorted_rays()
+    n = 14
+    frames = []
+    for i in range(n):
+        t = i / (n - 1)
+        Twc = np.eye(4, dtype=np.float64)
+        Twc[:3, 3] = [1.2 * t, 0.1 * np.sin(4 * t), 0.25 * t]
+        frames.append(RawFrame(timestamp=i / 20.0, image=_render(Twc, rays)))
+
+    def run(prefetch: bool):
+        cfg = _merge_dataclass(Config(), {
+            "dataset": "synthetic_images",
+            "camera": {"width": W, "height": H, "fx": float(K[0]),
+                       "fy": float(K[1]), "cx": float(K[2]),
+                       "cy": float(K[3]), "fps": 20.0,
+                       "k1": float(DIST[0]), "k2": float(DIST[1])},
+            "tracking": {"num_features": 300},
+            "runtime": {"max_keypoints": 320, "dust_points_cap": 128,
+                        "local_points_cap": 1024, "ba_kfs_cap": 32,
+                        "ba_points_cap": 1024, "ba_obs_cap": 4096,
+                        "init_ransac_iters": 60,
+                        "prefetch_extract": prefetch},
+        })
+        params = superpoint.init_params(jax.random.PRNGKey(3))
+        sys_ = System(cfg, params=params)
+        sys_.spin(dataset=frames)
+        stamps, poses = sys_.trajectory()
+        return sys_.report(), np.asarray(stamps), np.asarray(poses)
+
+    rep_a, st_a, po_a = run(prefetch=True)
+    rep_b, st_b, po_b = run(prefetch=False)
+    assert rep_a == rep_b, (rep_a, rep_b)
+    np.testing.assert_array_equal(st_a, st_b)
+    np.testing.assert_array_equal(po_a, po_b)
