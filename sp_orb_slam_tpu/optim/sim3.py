@@ -93,6 +93,22 @@ def sim3_log(R: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([omega, upsilon, sigma[None]])
 
 
+@jit_f32
+def sim3_log_batch(R: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``sim3_log``: (N,3,3),(N,3),(N,) -> (N,7) in ONE device
+    program.  The un-jitted scalar version executes eagerly primitive by
+    primitive — over the axon tunnel that is dozens of ~25 ms roundtrips
+    per call, and the essential graph calls it per node AND per edge
+    (measured: the loop-event spin dominated by these tiny dispatches)."""
+    return jax.vmap(sim3_log)(R, t, s)
+
+
+@jit_f32
+def sim3_exp_batch(xi: jnp.ndarray):
+    """Batched ``sim3_exp``: (N,7) -> ((N,3,3),(N,3),(N,))."""
+    return jax.vmap(sim3_exp)(xi)
+
+
 def sim3_mul(A, B):
     """(R, t, s) composition: A * B."""
     Ra, ta, sa = A

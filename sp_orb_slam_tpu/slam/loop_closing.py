@@ -35,6 +35,13 @@ from sp_orb_slam_tpu.slam.local_mapping import (LocalMapping, _next_pow2,
                                                 assemble_global_ba,
                                                 solve_global_ba)
 from sp_orb_slam_tpu.slam.map import Map, KeyFrame
+from sp_orb_slam_tpu.ops import matching as _matching
+
+# jitted adapters for the loop path's matcher calls: called eagerly these
+# run primitive-by-primitive (each a tunnel dispatch) and recompile
+# primitives per shape; jitted + static-shape-padded they compile once
+_bf_match_jit = jax.jit(_matching.search_by_brute_force)
+_pairwise_dist_jit = jax.jit(_matching.pairwise_dist)
 
 
 def _np_sim3(R, t, s):
@@ -55,6 +62,25 @@ def _sim3_inv_np(S):
 def _sim3_apply_np(S, X):
     R, t, s = S
     return s * (X @ R.T) + t
+
+
+def _sim3_log_rows(Ss: list) -> np.ndarray:
+    """Batch-log a list of (R, t, s) Sim3 tuples in one device call,
+    pow2-padded with identities to bound compile variants."""
+    import jax.numpy as jnp
+
+    n = len(Ss)
+    P = _next_pow2(max(n, 8))
+    Rs = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+    ts = np.zeros((P, 3), np.float32)
+    ss = np.ones(P, np.float32)
+    for i, (R, t, s) in enumerate(Ss):
+        Rs[i] = R
+        ts[i] = t
+        ss[i] = s
+    out = s3.sim3_log_batch(jnp.asarray(Rs), jnp.asarray(ts),
+                            jnp.asarray(ss))
+    return np.asarray(out)[:n]
 
 
 class LoopClosing:
@@ -254,13 +280,23 @@ class LoopClosing:
     def _compute_sim3(self, kf: KeyFrame, candidates: List[int]):
         import jax.numpy as jnp
 
-        from sp_orb_slam_tpu.ops import matching
-
         K_intr = self.k.K_intr
         rows1, pids1 = self._kf_matched_arrays(kf)
         if len(rows1) < 20:
             return None
-        desc1 = kf.data.desc_host[rows1]
+        # Static-shape discipline: each DISTINCT (len(rows1), len(rows2))
+        # pair is a fresh XLA compile of the BF matcher, and each distinct
+        # pair count a fresh sim3_ransac compile — over the axon tunnel a
+        # compile is 20-40 s, and the rendered TPU run measured the loop
+        # span dominated by exactly these (nearly every Sim3 attempt has a
+        # unique shape).  Pad everything to the fixed keypoint capacity
+        # with valid masks; the kernels' mask semantics make the padded
+        # results identical, and the programs compile ONCE.
+        N = self.cfg.runtime.max_keypoints
+        d1 = np.zeros((N, 256), np.float32)
+        d1[:len(rows1)] = kf.data.desc_host[rows1]
+        v1 = np.zeros(N, bool)
+        v1[:len(rows1)] = True
         for kid in candidates:
             cand = self.map.keyframes.get(kid)
             if cand is None or cand.bad:
@@ -268,25 +304,35 @@ class LoopClosing:
             rows2, pids2 = self._kf_matched_arrays(cand)
             if len(rows2) < 20:
                 continue
-            desc2 = cand.data.desc_host[rows2]
+            d2 = np.zeros((N, 256), np.float32)
+            d2[:len(rows2)] = cand.data.desc_host[rows2]
+            v2 = np.zeros(N, bool)
+            v2[:len(rows2)] = True
             # mutual-NN brute force (loop variant, sp_matcher_loop.cpp:334)
-            m = np.asarray(matching.search_by_brute_force(
-                jnp.asarray(desc2), jnp.ones(len(rows2), bool),
-                jnp.asarray(desc1), jnp.ones(len(rows1), bool)))
+            m = np.asarray(_bf_match_jit(
+                jnp.asarray(d2), jnp.asarray(v2),
+                jnp.asarray(d1), jnp.asarray(v1)))
             pairs = [(i1, int(m[i1])) for i1 in range(len(rows1)) if m[i1] >= 0]
             if len(pairs) < 20:
                 continue
             # camera-frame 3D points of the matched map points in each KF
             X1 = np.stack([self.map.pool.pos[pids1[i1]] for i1, _ in pairs])
             X2 = np.stack([self.map.pool.pos[pids2[i2]] for _, i2 in pairs])
-            X1c = X1 @ kf.Tcw[:3, :3].T + kf.Tcw[:3, 3]
-            X2c = X2 @ cand.Tcw[:3, :3].T + cand.Tcw[:3, 3]
-            uv1 = kf.data.uv[[rows1[i1] for i1, _ in pairs]]
-            uv2 = cand.data.uv[[rows2[i2] for _, i2 in pairs]]
+            n_p = len(pairs)
+            X1c = np.zeros((N, 3), np.float32)
+            X2c = np.zeros((N, 3), np.float32)
+            uv1 = np.zeros((N, 2), np.float32)
+            uv2 = np.zeros((N, 2), np.float32)
+            vp = np.zeros(N, bool)
+            X1c[:n_p] = X1 @ kf.Tcw[:3, :3].T + kf.Tcw[:3, 3]
+            X2c[:n_p] = X2 @ cand.Tcw[:3, :3].T + cand.Tcw[:3, 3]
+            uv1[:n_p] = kf.data.uv[[rows1[i1] for i1, _ in pairs]]
+            uv2[:n_p] = cand.data.uv[[rows2[i2] for _, i2 in pairs]]
+            vp[:n_p] = True
             self._key, sub = jax.random.split(self._key)
             res = s3.sim3_ransac(
                 jnp.asarray(X1c), jnp.asarray(X2c), jnp.asarray(uv1),
-                jnp.asarray(uv2), jnp.ones(len(pairs), bool), K_intr, sub)
+                jnp.asarray(uv2), jnp.asarray(vp), K_intr, sub)
             if not bool(res.ok):
                 continue
             # guided growth between RANSAC and refinement: SearchBySim3Override
@@ -472,13 +518,19 @@ class LoopClosing:
         cosang = np.einsum('ij,ij->i', PO, pool.normal[idx].astype(np.float64))
         ok &= cosang >= 0.5 * dist3
         proj = np.stack([u, v], -1).astype(np.float32)
-        dist = matching.pairwise_dist(
-            jnp.asarray(pool.desc[idx]), kf.data.desc_dev)
+        # pow2-pad the query side: loop_pids counts are nearly unique per
+        # call, and each distinct count recompiles the distance matmul
+        n_q = len(idx)
+        P = _next_pow2(max(n_q, 256))
+        descp = np.zeros((P, 256), np.float32)
+        descp[:n_q] = pool.desc[idx]
+        dist = np.asarray(_pairwise_dist_jit(
+            jnp.asarray(descp), kf.data.desc_dev))[:n_q]
         du = np.abs(kf.data.uv[None, :, 0] - proj[:, None, 0])
         dv = np.abs(kf.data.uv[None, :, 1] - proj[:, None, 1])
         mask = ((du < radius) & (dv < radius) & ok[:, None]
                 & kf.data.valid[None, :])
-        d = np.where(mask, np.asarray(dist), 1e9)
+        d = np.where(mask, dist, 1e9)
         best_kp = d.argmin(axis=1)
         best_d = d.min(axis=1)
         matches: Dict[int, int] = {}
@@ -695,9 +747,14 @@ class LoopClosing:
         index = {k: i for i, k in enumerate(kfs)}
         N = len(kfs)
 
-        xi = np.zeros((N, 7), np.float32)
+        # All sim3_log/exp go through ONE batched device program each
+        # (sim3_log_batch/sim3_exp_batch): the scalar versions execute
+        # eagerly primitive-by-primitive, and this method calls them per
+        # node AND per edge — over the axon tunnel that measured as the
+        # dominant cost of a loop event.  pow2 padding bounds compiles.
         old_sim3: Dict[int, tuple] = {}   # node init (corrected if present)
         meas_sim3: Dict[int, tuple] = {}  # edge-measurement source
+        node_S = [None] * N
         for k, i in index.items():
             kfi = world.keyframes[k]
             T = kfi.Tcw.astype(np.float64)
@@ -705,11 +762,10 @@ class LoopClosing:
             S = corrected.get(k, S_pose)
             old_sim3[k] = S
             meas_sim3[k] = non_corrected.get(k, S_pose)
-            xi[i] = np.asarray(s3.sim3_log(
-                jnp.asarray(S[0], jnp.float32), jnp.asarray(S[1], jnp.float32),
-                jnp.asarray(np.float32(S[2]))))
+            node_S[i] = S
+        xi = _sim3_log_rows(node_S)
 
-        edges = []   # (i, j, meas_xi)
+        edges = []   # (i, j, meas Sim3)
         added = set()
 
         def add_edge(ki, kj, Sji):
@@ -717,10 +773,7 @@ class LoopClosing:
             if key in added or ki not in index or kj not in index:
                 return
             added.add(key)
-            edges.append((index[ki], index[kj], np.asarray(s3.sim3_log(
-                jnp.asarray(Sji[0], jnp.float32),
-                jnp.asarray(Sji[1], jnp.float32),
-                jnp.asarray(np.float32(Sji[2]))))))
+            edges.append((index[ki], index[kj], Sji))
 
         def measured(ki, kj, source):
             Si = source[ki]
@@ -752,25 +805,39 @@ class LoopClosing:
         if not edges:
             return
         E = len(edges)
-        ei = jnp.asarray([e[0] for e in edges], jnp.int32)
-        ej = jnp.asarray([e[1] for e in edges], jnp.int32)
-        meas = jnp.asarray(np.stack([e[2] for e in edges]), jnp.float32)
-        valid = jnp.ones(E, bool)
-        fixed = np.zeros(N, bool)
+        # pow2-pad nodes and edges so the pose-graph program compiles a
+        # bounded number of variants (padded nodes are fixed identities
+        # with no edges; padded edges are valid=False self-loops at 0)
+        NP = _next_pow2(max(N, 8))
+        EP = _next_pow2(max(E, 8))
+        xip = np.zeros((NP, 7), np.float32)
+        xip[:N] = xi
+        ei = np.zeros(EP, np.int32)
+        ej = np.zeros(EP, np.int32)
+        ei[:E] = [e[0] for e in edges]
+        ej[:E] = [e[1] for e in edges]
+        meas = np.zeros((EP, 7), np.float32)
+        meas[:E] = _sim3_log_rows([e[2] for e in edges])
+        valid = np.zeros(EP, bool)
+        valid[:E] = True
+        fixed = np.ones(NP, bool)
+        fixed[:N] = False
         fixed[index[matched_kf_id]] = True  # loop KF fixed (optimizer.cpp:826)
 
         out = np.asarray(s3.optimize_pose_graph(
-            jnp.asarray(xi), jnp.asarray(fixed), ei, ej, meas, valid,
+            jnp.asarray(xip), jnp.asarray(fixed), jnp.asarray(ei),
+            jnp.asarray(ej), jnp.asarray(meas), jnp.asarray(valid),
             iters=20))
 
         # write back: poses [R t/s] and point remap through the old Sim3
+        Rb, tb, sb = (np.asarray(a) for a in s3.sim3_exp_batch(
+            jnp.asarray(out)))
         remapped: Set[int] = set()
         for k, i in index.items():
             kfi = world.keyframes[k]
-            R, t, s_ = s3.sim3_exp(jnp.asarray(out[i]))
-            Rn = np.asarray(R, np.float64)
-            tn = np.asarray(t, np.float64)
-            sn = float(s_)
+            Rn = Rb[i].astype(np.float64)
+            tn = tb[i].astype(np.float64)
+            sn = float(sb[i])
             S_new = (Rn, tn, sn)
             S_old = old_sim3[k]
             # remap this KF's points: X <- S_new^-1 (S_old X)
