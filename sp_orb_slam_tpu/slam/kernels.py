@@ -108,6 +108,13 @@ class Layout:
         return out
 
 
+def _next_pow2_k(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
 class PackedInput:
     """One host->device transfer per kernel call.
 
@@ -974,8 +981,31 @@ class TrackingKernels:
     def triangulate_pair(self, *args):
         return self.tri_layout.unpack(np.asarray(self._tri(*args)))
 
+    def triangulate_pair_batch(self, rows):
+        """Batched triangulation over neighbor-KF rows: ONE packed upload +
+        ONE packed readback for the whole neighbor set (the mapper's
+        per-neighbor loop pays a full ~25 ms tunnel roundtrip per call
+        otherwise).  Rows are pow2-padded by repeating the first row so the
+        vmapped program compiles a bounded number of batch widths."""
+        if len(rows) == 1:
+            return [self.triangulate_pair(*rows[0])]
+        n = len(rows)
+        padded = rows + [rows[0]] * (_next_pow2_k(n) - n)
+        flat = np.asarray(self._tri.call_rows(padded))
+        return [self.tri_layout.unpack(r) for r in flat[:n]]
+
     def fuse(self, *args):
         return self.fuse_layout.unpack(np.asarray(self._fuse(*args)))
+
+    def fuse_batch(self, rows):
+        """Batched fuse over target-KF rows (SearchInNeighbors phase 1):
+        one roundtrip for all targets instead of one per target."""
+        if len(rows) == 1:
+            return [self.fuse(*rows[0])]
+        n = len(rows)
+        padded = rows + [rows[0]] * (_next_pow2_k(n) - n)
+        flat = np.asarray(self._fuse.call_rows(padded))
+        return [self.fuse_layout.unpack(r) for r in flat[:n]]
 
     def gather_rows(self, bank, rows, valid):
         """On-device descriptor row gather: (cap, 256) device bank +

@@ -486,6 +486,14 @@ class LocalMapping:
         deferred = []  # (rel, kf2_id, j, i, X) for the starvation guard
         neighbors = kf.best_covisible(self.cfg.mapping.triangulation_num_kfs)
         Ow1 = kf.Ow
+        # One batched device program for ALL neighbor pairs (one tunnel
+        # roundtrip instead of one per neighbor).  The free masks are
+        # snapshots of the pre-pass state — the sequential loop's "raced
+        # within this pass" guard below already makes cross-neighbor slot
+        # claims safe, exactly like the reference's own per-pass
+        # GetMapPointMatches snapshot semantics.
+        free1 = kf.data.valid & (kf.mp_ids < 0)
+        rows, pair_kfs = [], []
         for kid in neighbors:
             kf2 = self.map.keyframes.get(kid)
             if kf2 is None or kf2.bad:
@@ -494,12 +502,13 @@ class LocalMapping:
             median_depth = self._scene_median_depth(kf2)
             if median_depth <= 0 or baseline / median_depth < 0.01:
                 continue
-            free1 = kf.data.valid & (kf.mp_ids < 0)
             free2 = kf2.data.valid & (kf2.mp_ids < 0)
-            out = self.k.triangulate_pair(
-                kf.Tcw, kf2.Tcw, kf.data.uv, kf.data.desc_dev,
-                kf.data.cov2_inv, free1, kf2.data.uv, kf2.data.desc_dev,
-                kf2.data.cov2_inv, free2)
+            rows.append((kf.Tcw, kf2.Tcw, kf.data.uv, kf.data.desc_dev,
+                         kf.data.cov2_inv, free1, kf2.data.uv,
+                         kf2.data.desc_dev, kf2.data.cov2_inv, free2))
+            pair_kfs.append(kf2)
+        outs = self.k.triangulate_pair_batch(rows) if rows else []
+        for kf2, out in zip(pair_kfs, outs):
             good = out["good"]
             match21 = out["match21"]
             if df is not None:
@@ -616,9 +625,21 @@ class LocalMapping:
                 seen.add(kid2)
 
         cur_pids = [int(p) for p in kf.mp_ids if p >= 0]
-        # current KF's points into each target
+        # current KF's points into each target — ONE batched device program
+        # for all ~20 targets (one tunnel roundtrip instead of one per
+        # target).  Projections read the pre-phase snapshot, like the
+        # reference's own vpMapPointMatches snapshot (local_mapper.cpp:
+        # 846-852); the apply loop re-checks live point state per row.
+        rows, metas = [], []
         for kid in targets:
-            self._fuse(self.map.keyframes[kid], cur_pids)
+            tkf = self.map.keyframes[kid]
+            built = self._fuse_row(tkf, cur_pids)
+            if built is not None:
+                rows.append(built[0])
+                metas.append((tkf, built[1]))
+        outs = self.k.fuse_batch(rows) if rows else []
+        for (tkf, tpids), out in zip(metas, outs):
+            self._fuse_apply(tkf, tpids, out)
         # target KFs' points into the current KF
         cand = []
         cseen = set()
@@ -639,11 +660,20 @@ class LocalMapping:
 
     def _fuse(self, kf: KeyFrame, pids: List[int]) -> None:
         """Host surgery around the fuse kernel (sp_matcher.cpp:1086-1100)."""
+        built = self._fuse_row(kf, pids)
+        if built is None:
+            return
+        out = self.k.fuse(*built[0])
+        self._fuse_apply(kf, built[1], out)
+
+    def _fuse_row(self, kf: KeyFrame, pids: List[int]):
+        """Assemble one fuse-kernel arg row for ``kf`` (None if nothing to
+        fuse); returns (args, filtered_pids) for self.k.fuse/fuse_batch."""
         pids = [p for p in pids
                 if (mp := self.map.get_point(p)) is not None and not mp.bad
                 and kf.kf_id not in mp.obs]
         if not pids:
-            return
+            return None
         L = self.cfg.runtime.local_points_cap
         pids = pids[:L]
         pool = self.map.pool
@@ -664,9 +694,13 @@ class LocalMapping:
         # Fuse uses GetDescriptor (distinctive); gathered on device from
         # the pool bank instead of a 4 MB per-call host upload
         desc = self.k.gather_rows(pool.device_bank("desc"), rows, valid)
-        out = self.k.fuse(kf.Tcw, pos, desc, normal, dmin, dmax, valid,
-                          kf.data.uv, kf.data.desc_dev, kf.data.valid)
+        args = (kf.Tcw, pos, desc, normal, dmin, dmax, valid,
+                kf.data.uv, kf.data.desc_dev, kf.data.valid)
+        return args, pids
+
+    def _fuse_apply(self, kf: KeyFrame, pids: List[int], out) -> None:
         best_idx = out["best_idx"]
+        n = len(pids)
         for li in range(n):
             bi = int(best_idx[li])
             if bi < 0:
