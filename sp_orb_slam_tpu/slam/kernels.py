@@ -881,10 +881,16 @@ class TrackingKernels:
             self.fused_track(*fargs, wide=True)
         self.init_two_view(desc_k, uv, val_k, uv, desc_k, uv, val_k,
                            jax.random.PRNGKey(0))
-        self.triangulate_pair(eye, eye, uv, desc_k, cov, val_k, uv, desc_k,
-                              cov, val_k)
-        self.fuse(eye, pos_l, desc_l, normal_l, np.zeros(L, np.float32),
-                  np.zeros(L, np.float32), val_l, uv, desc_k, val_k)
+        tri_row = (eye, eye, uv, desc_k, cov, val_k, uv, desc_k, cov, val_k)
+        self.triangulate_pair(*tri_row)
+        fuse_row = (eye, pos_l, desc_l, normal_l, np.zeros(L, np.float32),
+                    np.zeros(L, np.float32), val_l, uv, desc_k, val_k)
+        self.fuse(*fuse_row)
+        # the mapper's batched drives at their steady-state width (the
+        # smaller pow2 widths compile during early-map spins where latency
+        # is uncritical; width 8 is what a mature map hits every KF)
+        self.triangulate_pair_batch([tri_row] * 8)
+        self.fuse_batch([fuse_row] * 8)
         if ba:
             from sp_orb_slam_tpu.optim import ba as ba_mod
 
@@ -981,31 +987,37 @@ class TrackingKernels:
     def triangulate_pair(self, *args):
         return self.tri_layout.unpack(np.asarray(self._tri(*args)))
 
+    def _call_rows_chunked(self, adapter, layout, rows, max_width: int = 8):
+        """Drive a PackedInput adapter over `rows` in pow2-padded chunks of
+        at most `max_width`: one packed upload + one packed readback per
+        chunk (vs one full tunnel roundtrip per row), with the vmapped
+        program's batch widths bounded to {2, 4, max_width} so compiles
+        stay few and lane memory stays flat."""
+        outs = []
+        for i in range(0, len(rows), max_width):
+            chunk = rows[i:i + max_width]
+            if len(chunk) == 1:
+                outs.append(layout.unpack(np.asarray(adapter(*chunk[0]))))
+                continue
+            n = len(chunk)
+            padded = chunk + [chunk[0]] * (_next_pow2_k(n) - n)
+            flat = np.asarray(adapter.call_rows(padded))
+            outs.extend(layout.unpack(r) for r in flat[:n])
+        return outs
+
     def triangulate_pair_batch(self, rows):
-        """Batched triangulation over neighbor-KF rows: ONE packed upload +
-        ONE packed readback for the whole neighbor set (the mapper's
+        """Batched triangulation over neighbor-KF rows (the mapper's
         per-neighbor loop pays a full ~25 ms tunnel roundtrip per call
-        otherwise).  Rows are pow2-padded by repeating the first row so the
-        vmapped program compiles a bounded number of batch widths."""
-        if len(rows) == 1:
-            return [self.triangulate_pair(*rows[0])]
-        n = len(rows)
-        padded = rows + [rows[0]] * (_next_pow2_k(n) - n)
-        flat = np.asarray(self._tri.call_rows(padded))
-        return [self.tri_layout.unpack(r) for r in flat[:n]]
+        otherwise)."""
+        return self._call_rows_chunked(self._tri, self.tri_layout, rows)
 
     def fuse(self, *args):
         return self.fuse_layout.unpack(np.asarray(self._fuse(*args)))
 
     def fuse_batch(self, rows):
         """Batched fuse over target-KF rows (SearchInNeighbors phase 1):
-        one roundtrip for all targets instead of one per target."""
-        if len(rows) == 1:
-            return [self.fuse(*rows[0])]
-        n = len(rows)
-        padded = rows + [rows[0]] * (_next_pow2_k(n) - n)
-        flat = np.asarray(self._fuse.call_rows(padded))
-        return [self.fuse_layout.unpack(r) for r in flat[:n]]
+        one roundtrip per 8 targets instead of one per target."""
+        return self._call_rows_chunked(self._fuse, self.fuse_layout, rows)
 
     def gather_rows(self, bank, rows, valid):
         """On-device descriptor row gather: (cap, 256) device bank +

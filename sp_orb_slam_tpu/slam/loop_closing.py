@@ -109,6 +109,54 @@ class LoopClosing:
     def insert_keyframe(self, kf_id: int) -> None:
         self.queue.append(kf_id)
 
+    def warmup(self) -> None:
+        """Precompile the loop path's device programs on their production
+        (static, padded) shapes — the same first-hit-compile discipline as
+        TrackingKernels.warmup.  All loop kernels are now fixed-shape
+        (pads + pow2 buckets), so one pass covers them; without it the
+        first Sim3 attempt / essential graph of a serving session lands
+        20-40 s of compiles mid-loop-closure."""
+        import jax.numpy as jnp
+
+        N = self.cfg.runtime.max_keypoints
+        K_intr = self.k.K_intr
+        zeros_desc = jnp.zeros((N, 256), jnp.float32)
+        v = np.zeros(N, bool)
+        v[:32] = True
+        vj = jnp.asarray(v)
+        _bf_match_jit(zeros_desc, vj, zeros_desc, vj)
+        _pairwise_dist_jit(jnp.zeros((256, 256), jnp.float32), zeros_desc)
+        self._key, sub = jax.random.split(self._key)
+        s3.sim3_ransac(jnp.zeros((N, 3)), jnp.zeros((N, 3)),
+                       jnp.zeros((N, 2)), jnp.zeros((N, 2)), vj, K_intr, sub)
+        s3.optimize_sim3(jnp.eye(3), jnp.zeros(3), jnp.float32(1.0),
+                         jnp.zeros((32, 3)), jnp.zeros((32, 3)),
+                         jnp.zeros((32, 2)), jnp.zeros((32, 2)),
+                         jnp.ones((32, 2)), jnp.ones((32, 2)),
+                         jnp.asarray(v[:32]), K_intr)
+        cam = self.cfg.camera
+        bounds = jnp.asarray(np.array(
+            [0.0, cam.width - 1.0, 0.0, cam.height - 1.0], np.float32))
+        uv = jnp.zeros((N, 2), jnp.float32)
+        from sp_orb_slam_tpu.ops import matching
+        matching.search_by_sim3(
+            jnp.zeros((N, 3)), vj, zeros_desc, jnp.zeros(N), jnp.ones(N),
+            uv, zeros_desc, vj,
+            jnp.zeros((N, 3)), vj, zeros_desc, jnp.zeros(N), jnp.ones(N),
+            uv, zeros_desc, vj,
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+            K_intr, bounds, radius=7.5)
+        # essential-graph path at its smallest pow2 buckets
+        _sim3_log_rows([(np.eye(3), np.zeros(3), 1.0)] * 2)
+        s3.sim3_exp_batch(jnp.zeros((8, 7), jnp.float32))
+        fixed = np.ones(8, bool)
+        fixed[0] = False
+        s3.optimize_pose_graph(
+            jnp.zeros((8, 7)), jnp.asarray(fixed),
+            jnp.zeros(8, jnp.int32), jnp.zeros(8, jnp.int32),
+            jnp.zeros((8, 7)), jnp.zeros(8, bool), iters=20)
+
     # ------------------------------------------------------------------ spin
 
     def spin_once(self) -> None:

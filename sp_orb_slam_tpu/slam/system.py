@@ -155,6 +155,8 @@ class System:
         import jax.numpy as jnp
 
         self.kernels.warmup(pool_capacity=self.map.pool.capacity)
+        if self.looper is not None:
+            self.looper.warmup()
         if self._extract is not None:
             H, W = self.cfg.camera.height, self.cfg.camera.width
             img = jnp.zeros((H, W), jnp.float32)
