@@ -39,6 +39,13 @@ def main() -> None:
 
     params = superpoint.init_params(jax.random.PRNGKey(0))
 
+    import os
+    # SP_BENCH_MATCH / SP_BENCH_HEAT_SHUFFLE: on-chip A/B knobs for the
+    # round-4 tail work (scripts/profile_r4g.py); the defaults are the
+    # measured winners
+    match_method = os.environ.get("SP_BENCH_MATCH", "xla")
+    heat_shuffle = os.environ.get("SP_BENCH_HEAT_SHUFFLE", "transpose")
+
     @jax.jit
     def step(images, prev_desc, prev_uv, prev_valid):
         feats = extract(
@@ -52,8 +59,18 @@ def main() -> None:
             cov_radius=cfg.extractor.cov_window,
             cov_iters=cfg.extractor.cov_iters,
             with_heat_inv=False,  # dead 46 MB output otherwise (r4 tail work)
+            heat_shuffle=heat_shuffle,
             compute_dtype=jnp.bfloat16,
         )
+
+        if match_method == "pallas":
+            from sp_orb_slam_tpu.ops import pallas_match
+
+            _, n, _ = pallas_match.match_init_batch(
+                prev_desc, prev_valid, prev_uv,
+                feats.desc, feats.uv, feats.valid,
+                window=100, ratio=0.9)
+            return feats, n
 
         def match_one(desc, uv, valid, pdesc, puv, pvalid):
             m = matching.search_for_initialization(

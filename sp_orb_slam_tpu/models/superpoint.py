@@ -190,6 +190,7 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
             conv_packing: str = "none",
             with_heat: bool = True,
             with_heat_inv: bool = True,
+            heat_shuffle: str = "transpose",
             compute_dtype=jnp.float32) -> FrontendOut:
     """Run the frontend on images (B, H, W) float32 in [0, 1].
 
@@ -289,8 +290,19 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
         mx = -jnp.min(jnp.maximum(jnp.min(semi_nodust, axis=-1) - lse,
                                   log_eps), axis=(1, 2)).reshape(B, 1, 1)
         # pixel_shuffle(x, 8): out[v*8+dy, u*8+dx] = in[dy*8+dx] @ cell (v, u)
-        heat_full = heat_log.reshape(B, hc, wc, cell, cell)
-        heat_full = jnp.transpose(heat_full, (0, 1, 3, 2, 4)).reshape(B, H, W)
+        if heat_shuffle == "slices":
+            # channel-slice formulation: for a fixed dy, output rows
+            # dy, 8+dy, ... are exactly heat_log[..., dy*8:(dy+1)*8]
+            # flattened row-major over (wc, 8) — a contiguous reshape with
+            # W=752 on the minor axis instead of the 5D transpose whose
+            # minor axis is the 8-wide dx (quarter-lane relayout)
+            rows = [heat_log[..., dy * cell:(dy + 1) * cell].reshape(B, hc, W)
+                    for dy in range(cell)]
+            heat_full = jnp.stack(rows, axis=2).reshape(B, H, W)
+        else:
+            heat_full = heat_log.reshape(B, hc, wc, cell, cell)
+            heat_full = jnp.transpose(heat_full,
+                                      (0, 1, 3, 2, 4)).reshape(B, H, W)
         heat_inv = (mx + heat_full) / (mx - mn)  # == 1 - (-hf - mn)/(mx - mn)
         heat = (1.0 - heat_inv) if with_heat else None
     else:

@@ -384,3 +384,15 @@ def test_s2d_conv_packing_matches_standard(params, images, packing):
                                np.asarray(b.coarse_desc), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(a.cand_uv),
                                   np.asarray(b.cand_uv))
+
+
+def test_heat_shuffle_slices_matches_transpose(params, images):
+    """The channel-slice pixel-shuffle formulation (round-4 tail work) must
+    be bit-identical to the 5D-transpose one."""
+    a = superpoint.forward(params, jnp.asarray(images), with_heat=True,
+                           heat_shuffle="transpose")
+    b = superpoint.forward(params, jnp.asarray(images), with_heat=True,
+                           heat_shuffle="slices")
+    np.testing.assert_array_equal(np.asarray(a.heat_inv),
+                                  np.asarray(b.heat_inv))
+    np.testing.assert_array_equal(np.asarray(a.heat), np.asarray(b.heat))

@@ -1,0 +1,95 @@
+"""Golden tests for the fused Pallas init-match kernel (interpret mode).
+
+Asserts index-level equality against the XLA path
+(matching.search_for_initialization / resolve_mutual) including tie cases.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sp_orb_slam_tpu.ops import matching
+from sp_orb_slam_tpu.ops.pallas_match import match_init_batch
+
+
+def _mk(rng, B, M, N, dup_frac=0.0):
+    d1 = rng.normal(size=(B, M, 256)).astype(np.float32)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    d2 = rng.normal(size=(B, N, 256)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=-1, keepdims=True)
+    if dup_frac:
+        # exact duplicate descriptors force distance ties through both the
+        # argmin and the mutual-resolution tie-breaks
+        k = int(N * dup_frac)
+        d2[:, N - k:] = d2[:, :k]
+        d1[:, M - k:] = d2[:, :k]
+    uv1 = rng.uniform(0, 400, (B, M, 2)).astype(np.float32)
+    uv2 = (uv1[:, :N] + rng.uniform(-60, 60, (B, N, 2))).astype(np.float32)
+    v1 = rng.random((B, M)) > 0.1
+    v2 = rng.random((B, N)) > 0.1
+    return d1, v1, uv1, d2, uv2, v2
+
+
+@pytest.mark.parametrize("dup_frac", [0.0, 0.25])
+def test_match_init_batch_golden(dup_frac):
+    rng = np.random.default_rng(3)
+    B, M, N = 3, 256, 256
+    d1, v1, uv1, d2, uv2, v2 = _mk(rng, B, M, N, dup_frac)
+
+    m12, n, m21 = jax.jit(
+        lambda *a: match_init_batch(*a, window=100, ratio=0.9, th=0.3,
+                                    tm=128, interpret=True))(
+        d1, v1, uv1, d2, uv2, v2)
+
+    def gold_one(d1, v1, uv1, d2, uv2, v2):
+        dist = matching.pairwise_dist(d1, d2)
+        mask = matching.window_mask(uv1, v1, uv2, v2, 100)
+        best, idx, second = matching.masked_best2(dist, mask)
+        row_ok = v1 & (best <= matching.TH_LOW) & (best < 0.9 * second)
+        return matching.resolve_mutual(idx, best, row_ok, d2.shape[0])
+
+    g12, g21 = jax.vmap(gold_one)(jnp.asarray(d1), jnp.asarray(v1),
+                                  jnp.asarray(uv1), jnp.asarray(d2),
+                                  jnp.asarray(uv2), jnp.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(m12), np.asarray(g12))
+    np.testing.assert_array_equal(np.asarray(m21), np.asarray(g21))
+    np.testing.assert_array_equal(
+        np.asarray(n), np.sum(np.asarray(g12) >= 0, axis=1))
+
+
+def test_match_init_batch_all_invalid():
+    rng = np.random.default_rng(5)
+    B, M, N = 1, 128, 128
+    d1, _, uv1, d2, uv2, _ = _mk(rng, B, M, N)
+    v1 = np.zeros((B, M), bool)
+    v2 = np.ones((B, N), bool)
+    m12, n, m21 = match_init_batch(d1, v1, uv1, d2, uv2, v2,
+                                   window=100, ratio=0.9, th=0.3,
+                                   tm=128, interpret=True)
+    assert int(n[0]) == 0
+    assert np.all(np.asarray(m12) == -1)
+    assert np.all(np.asarray(m21) == -1)
+
+
+def test_match_init_matches_search_for_initialization():
+    """End-to-end parity with the public XLA entry point on the bench
+    call pattern (prev frame rows, current frame columns)."""
+    rng = np.random.default_rng(11)
+    B, M, N = 2, 256, 256
+    d1, v1, uv1, d2, uv2, v2 = _mk(rng, B, M, N)
+
+    m12, n, _ = match_init_batch(d1, v1, uv1, d2, uv2, v2,
+                                 window=100, ratio=0.9, tm=128,
+                                 interpret=True)
+
+    def one(pd, pv, puv, dd, duv, dv):
+        m = matching.search_for_initialization(pd, pv, puv, dd, duv, dv,
+                                               window=100, ratio=0.9)
+        return m.match12, m.n_matches
+
+    g12, gn = jax.vmap(one)(jnp.asarray(d1), jnp.asarray(v1),
+                            jnp.asarray(uv1), jnp.asarray(d2),
+                            jnp.asarray(uv2), jnp.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(m12), np.asarray(g12))
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(gn))
