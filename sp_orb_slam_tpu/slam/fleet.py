@@ -57,10 +57,15 @@ class StreamFleet:
         self.n_batched_dust = 0   # stream-frames served by the batched stages
         self.n_batched_local = 0
         self._sharding = None
+        self.last_extract_placement = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._sharding = NamedSharding(mesh, P(axis))
+        # the batched tracking stages (dust/local prepass, and the mappers'
+        # triangulate/fuse batches) shard their stacked rows over the same
+        # stream axis — the whole tick runs SPMD, not just the frontend
+        self.kernels.batch_sharding = self._sharding
 
         kern = self.kernels
 
@@ -121,6 +126,8 @@ class StreamFleet:
 
                 dev = jax.vmap(self._preprocess)(dev)
             feats = self._extract(dev)
+            self.last_extract_placement = {
+                "in": dev.sharding, "out": feats.uv.sharding}
             packed = np.asarray(self._fetch_batch(
                 feats.uv, feats.score, feats.response, feats.valid,
                 feats.cov2_inv, feats.occ_grid, feats.count))

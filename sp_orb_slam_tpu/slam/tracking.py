@@ -80,6 +80,14 @@ class Tracking:
         # stats (tracker.h:54-59)
         self.inlier_coarse: List[int] = []
         self.inlier_fine: List[int] = []
+        # per-keypoint-count ratios, pushed exactly where the reference
+        # pushes them (tracker_dust.cpp:208-209, tracker.cpp:596-597)
+        self.inlier_coarse_ratio: List[float] = []
+        self.inlier_fine_ratio: List[float] = []
+        # per-stage dust failure breakdown (the reference logs each gate
+        # separately, tracker_dust.cpp:97-103,174-180,218-227)
+        self.fail_dust_stages = {"no_points": 0, "n_coarse": 0,
+                                 "n_match": 0, "ratio": 0}
 
     # ------------------------------------------------------------------ API
 
@@ -555,11 +563,13 @@ class Tracking:
         if staged is not None and staged[0] is frame:
             # fleet prepass already prepped + ran the batched kernel
             if staged[1] is None:
+                self.fail_dust_stages["no_points"] += 1
                 return False
             pids, Tcw_pred, out = staged[1]
         else:
             prep = self.prepare_dust(frame)
             if prep is None:
+                self.fail_dust_stages["no_points"] += 1
                 return False
             pids, Tcw_pred, args = prep
             if (self.cfg.tracking.coarse_method == "heat"
@@ -581,11 +591,13 @@ class Tracking:
         if out["n_coarse"] < d.th_ninlier:
             self.last_fail = (f"dust: n_coarse={int(out['n_coarse'])}"
                               f"<{d.th_ninlier}")
+            self.fail_dust_stages["n_coarse"] += 1
             frame.set_pose(Tcw_pred)
             return False
         if out["n_match"] < d.th_nmatch:
             self.last_fail = (f"dust: n_match={int(out['n_match'])}"
                               f"<{d.th_nmatch}")
+            self.fail_dust_stages["n_match"] += 1
             frame.set_pose(Tcw_pred)
             return False
         # bind
@@ -598,10 +610,12 @@ class Tracking:
 
         n_opt = int(out["n_opt"])
         self.inlier_coarse.append(n_opt)
+        self.inlier_coarse_ratio.append(n_opt / max(frame.count, 1))
         if n_opt * 1.0 / max(int(out["n_match"]), 1) > d.th_ratio:
             return True
         self.last_fail = (f"dust: ratio {n_opt}/{int(out['n_match'])}"
                           f"<={d.th_ratio}")
+        self.fail_dust_stages["ratio"] += 1
         frame.set_pose(Tcw_pred)
         return False
 
@@ -1068,6 +1082,8 @@ class Tracking:
                 if self.only_tracking or mp.n_obs > 0:
                     self.matches_inliers += 1
         self.inlier_fine.append(self.matches_inliers)
+        self.inlier_fine_ratio.append(
+            self.matches_inliers / max(frame.count, 1))
 
         if self.matches_inliers < self.cfg.tracking.map.th_ninlier_low:
             self.last_fail = (f"local: inliers={self.matches_inliers}"
@@ -1163,10 +1179,24 @@ class Tracking:
             self.lost_flags.append(self.state == LOST)
 
     def report(self) -> dict:
+        """End-of-run tracking summary, field-for-field with the reference's
+        shutdown report (tracker.cpp:1149-1188): coarse/fine inlier means,
+        the per-N ratios, the fine-inlier spread (the reference prints the
+        sqrt of the mean squared deviation under the label "variance" —
+        reported here as *_std, plus the actual variance), the dust failure
+        total, and the per-gate breakdown the reference logs per-frame
+        (tracker_dust.cpp:97-103,174-180,218-227)."""
+        fine = np.asarray(self.inlier_fine, np.float64)
+        fine_var = float(np.mean((fine - fine.mean()) ** 2)) if fine.size else 0.0
         return dict(
             n_frames=len(self.rel_poses),
             n_fail_dust=self.n_fail_dust,
+            fail_dust_stages=dict(self.fail_dust_stages),
             coarse_inliers=float(np.mean(self.inlier_coarse)) if self.inlier_coarse else 0.0,
-            fine_inliers=float(np.mean(self.inlier_fine)) if self.inlier_fine else 0.0,
+            coarse_inlier_ratio=float(np.mean(self.inlier_coarse_ratio)) if self.inlier_coarse_ratio else 0.0,
+            fine_inliers=float(fine.mean()) if fine.size else 0.0,
+            fine_inliers_var=fine_var,
+            fine_inliers_std=float(np.sqrt(fine_var)),
+            fine_inlier_ratio=float(np.mean(self.inlier_fine_ratio)) if self.inlier_fine_ratio else 0.0,
             n_lost=int(np.sum(self.lost_flags)),
         )
