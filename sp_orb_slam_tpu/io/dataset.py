@@ -443,14 +443,226 @@ class ExportDataset:
                            global_desc=gd)
 
 
+def _read_f32_bin(path: str, shape: tuple) -> np.ndarray:
+    """One raw little-endian float32 blob, row-major, no header — the
+    reference's readDepthBinary (data_loader.cc:19-38)."""
+    n = int(np.prod(shape))
+    a = np.fromfile(path, dtype="<f4", count=n)
+    if a.size != n:
+        raise ValueError(f"{path}: expected {n} float32, got {a.size}")
+    return a.reshape(shape)
+
+
+class ReferenceExportDataset:
+    """Reads the reference's Export on-disk layout AS-IS
+    (DataloaderEuRoCExport / DataloaderKITTIExport, data_loader.cc:60-286):
+
+    - ``cam0/data.csv``: header line skipped, first comma field is the
+      nanosecond stamp; timestamps = t/1e9 and image paths
+      ``cam0/data/<t>.png`` are both built from that field
+      (data_loader.cc:187-209; images optional in feature-only exports);
+    - NetVLAD global descriptors, (1, 4096) raw f32: EuRoC naming
+      ``vlad/<t>.bin`` (data_loader.cc:87-109), KITTI naming
+      ``vlad/sequences/<seq>/%06d.bin`` (:266-276) — auto-detected;
+    - per-frame features under ``features/%06d/`` (:125-179): ``size``
+      (text, first line = num_pts), ``pts.bin`` (num_pts, 3) keypoints
+      [u, v, score], ``desc_mat.bin`` (num_pts, 256), ``dust.bin``
+      (H/8, W/8) dustbin map, ``dense.bin`` (H-2*border, W-2*border) and
+      ``dense_sm.bin`` (H, W) heat maps.
+
+    Mapping into the injected-frame representation: ``occ_grid`` is rebuilt
+    from the keypoints (the reference NMS guarantees at most one keypoint
+    per 8x8 cell, sp_extractor.cpp:216-238, so the rebuild is exact);
+    ``cov2_inv`` is recomputed from the exported full-res heat with the
+    reference's own heat_inv normalization + BFS covariance
+    (sp_extractor.cpp:461-474, 252-340) when ``cov_from_heat`` is set,
+    else unit information (the reference's Export experiments likewise
+    fed only global_desc into tracking, tracker.cpp:64)."""
+
+    def __init__(self, root: str, seq: Optional[str] = None, *,
+                 height: int = 480, width: int = 752, cell: int = 8,
+                 border: int = 8, max_keypoints: int = 896,
+                 cov_from_heat: bool = False, cov_radius: int = 8,
+                 fps_fallback: float = 20.0):
+        self.root = root
+        self.height, self.width = height, width
+        self.cell, self.border = cell, border
+        self.max_keypoints = max_keypoints
+        self.cov_from_heat = cov_from_heat
+        self.cov_radius = cov_radius
+        self.entries: List[Tuple[Optional[str], float, Optional[str]]] = []
+        csv_path = os.path.join(root, "cam0", "data.csv")
+        if os.path.exists(csv_path):
+            with open(csv_path) as f:
+                f.readline()  # header (data_loader.cc:195-196 getline+skip)
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    t = line.split(",")[0]
+                    img = os.path.join(root, "cam0", "data", t + ".png")
+                    self.entries.append(
+                        (t, float(t) / 1e9,
+                         img if os.path.exists(img) else None))
+        else:  # feature-only export: enumerate features/%06d dirs
+            feat_root = os.path.join(root, "features")
+            idxs = sorted(d for d in os.listdir(feat_root)
+                          if d.isdigit()) if os.path.isdir(feat_root) else []
+            self.entries = [(None, int(d) / fps_fallback, None)
+                            for d in idxs]
+        kitti_vlad = os.path.join(root, "vlad", "sequences")
+        self.kitti_vlad = os.path.isdir(kitti_vlad)
+        if self.kitti_vlad and seq is None:
+            seqs = sorted(os.listdir(kitti_vlad))
+            seq = seqs[0] if seqs else None
+        self.seq = seq
+
+    def _vlad_path(self, i: int) -> Optional[str]:
+        if self.kitti_vlad:
+            return os.path.join(self.root, "vlad", "sequences",
+                                self.seq or "", f"{i:06d}.bin")
+        t = self.entries[i][0]
+        return (os.path.join(self.root, "vlad", f"{t}.bin")
+                if t is not None else None)
+
+    def __len__(self):
+        return len(self.entries)
+
+    def frame(self, i: int) -> RawFrame:
+        t, ts, img_path = self.entries[i]
+        gd = None
+        vp = self._vlad_path(i)
+        if vp and os.path.exists(vp):
+            gd = _read_f32_bin(vp, (4096,))
+        image = None
+        if img_path:
+            from sp_orb_slam_tpu.io.native_loader import iter_gray_images
+
+            image = next(iter(iter_gray_images([img_path])))
+        injected = self._read_features(i)
+        return RawFrame(timestamp=ts, image=image, injected=injected,
+                        global_desc=gd)
+
+    def _read_features(self, i: int) -> Optional[dict]:
+        fdir = os.path.join(self.root, "features", f"{i:06d}")
+        if not os.path.isdir(fdir):
+            return None
+        with open(os.path.join(fdir, "size")) as f:
+            n = int(f.readline().split()[0])
+        H, W, c, b = self.height, self.width, self.cell, self.border
+        K = self.max_keypoints
+        if n > K:
+            raise ValueError(f"{fdir}: {n} keypoints > cap {K}")
+        pts = _read_f32_bin(os.path.join(fdir, "pts.bin"), (n, 3))
+        desc_n = _read_f32_bin(os.path.join(fdir, "desc_mat.bin"), (n, 256))
+        dust = _read_f32_bin(os.path.join(fdir, "dust.bin"),
+                             (H // c, W // c))
+        heat = None
+        hp = os.path.join(fdir, "dense_sm.bin")
+        if os.path.exists(hp):
+            heat = _read_f32_bin(hp, (H, W))
+
+        uv = np.zeros((K, 2), np.float32)
+        score = np.zeros(K, np.float32)
+        valid = np.zeros(K, bool)
+        desc = np.zeros((K, 256), np.float32)
+        uv[:n] = pts[:, :2]
+        score[:n] = pts[:, 2]
+        valid[:n] = True
+        desc[:n] = desc_n
+        # occ_grid rebuild: ascending-score writes so the best keypoint
+        # owns a (never-expected) contested cell
+        occ = np.full((H // c, W // c), -1, np.int32)
+        cu = np.clip((uv[:n, 0] // c).astype(np.int32), 0, W // c - 1)
+        cv_ = np.clip((uv[:n, 1] // c).astype(np.int32), 0, H // c - 1)
+        for k in np.argsort(score[:n], kind="stable"):
+            occ[cv_[k], cu[k]] = k
+        cov2_inv = np.ones((K, 2), np.float32)
+        response = score.copy()
+        if self.cov_from_heat and heat is not None:
+            from sp_orb_slam_tpu.ops.covariance import covariance_reference
+
+            mx, mn = float(heat.max()), float(heat.min())
+            heat_inv = (mx - heat) / max(mx - mn, 1e-12)
+            _, ci, resp = covariance_reference(
+                heat_inv, uv.astype(int), valid, radius=self.cov_radius)
+            cov2_inv[:] = ci
+            response[:] = resp
+        inj = dict(uv=uv, desc=desc, valid=valid, occ_grid=occ, dust=dust,
+                   cov2_inv=cov2_inv, score=score, count=n)
+        return inj
+
+    def __iter__(self) -> Iterator[RawFrame]:
+        for i in range(len(self.entries)):
+            yield self.frame(i)
+
+    # -------------------------------------------------- writer (roundtrip)
+
+    @staticmethod
+    def save_index(root: str, stamps_ns: List[int]) -> None:
+        """cam0/data.csv in the layout loadImages parses."""
+        os.makedirs(os.path.join(root, "cam0", "data"), exist_ok=True)
+        with open(os.path.join(root, "cam0", "data.csv"), "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for t in stamps_ns:
+                f.write(f"{t},{t}.png\n")
+
+    @staticmethod
+    def save_frame(root: str, index: int, *, uv: np.ndarray,
+                   score: np.ndarray, desc: np.ndarray, dust: np.ndarray,
+                   heat: Optional[np.ndarray] = None,
+                   global_desc: Optional[np.ndarray] = None,
+                   t_ns: Optional[int] = None, border: int = 8) -> None:
+        """Write one frame in the reference's exact byte layout (raw <f4,
+        readDepthBinary-compatible), so artifacts are interchangeable in
+        BOTH directions."""
+        fdir = os.path.join(root, "features", f"{index:06d}")
+        os.makedirs(fdir, exist_ok=True)
+        n = int(len(uv))
+        with open(os.path.join(fdir, "size"), "w") as f:
+            f.write(f"{n}\n")
+        pts = np.concatenate(
+            [np.asarray(uv, np.float32).reshape(n, 2),
+             np.asarray(score, np.float32).reshape(n, 1)], axis=1)
+        pts.astype("<f4").tofile(os.path.join(fdir, "pts.bin"))
+        np.asarray(desc, np.float32).reshape(n, 256).astype("<f4").tofile(
+            os.path.join(fdir, "desc_mat.bin"))
+        np.asarray(dust, np.float32).astype("<f4").tofile(
+            os.path.join(fdir, "dust.bin"))
+        if heat is not None:
+            heat = np.asarray(heat, np.float32)
+            heat.astype("<f4").tofile(os.path.join(fdir, "dense_sm.bin"))
+            heat[border:-border, border:-border].astype("<f4").tofile(
+                os.path.join(fdir, "dense.bin"))
+        if global_desc is not None:
+            vdir = os.path.join(root, "vlad")
+            os.makedirs(vdir, exist_ok=True)
+            name = f"{t_ns}.bin" if t_ns is not None else f"{index:06d}.bin"
+            gd = np.zeros(4096, np.float32)
+            g = np.asarray(global_desc, np.float32).ravel()
+            gd[:g.size] = g
+            gd.astype("<f4").tofile(os.path.join(vdir, name))
+
+
 def make_dataset(cfg: Config):
     name = cfg.dataset.lower()
     # the export check runs FIRST: family-prefixed export names like
     # "euroc_export" (DataloaderEuRoCExport parity) must not be captured
     # by the startswith family branches below
     if name.endswith("export"):
-        return ExportDataset(os.path.join(cfg.data_path, cfg.seq)
-                             if cfg.seq else cfg.data_path)
+        root = (os.path.join(cfg.data_path, cfg.seq)
+                if cfg.seq else cfg.data_path)
+        # a tree carrying the reference's own export artifacts (features/
+        # blob dirs or vlad/ bins) loads through the byte-layout reader;
+        # the npz schema keeps its frames/ directory
+        if (os.path.isdir(os.path.join(root, "features"))
+                or os.path.isdir(os.path.join(root, "vlad"))):
+            return ReferenceExportDataset(
+                root, seq=None,
+                height=cfg.camera.height, width=cfg.camera.width,
+                cell=cfg.extractor.cell_size, border=cfg.extractor.border,
+                max_keypoints=cfg.runtime.max_keypoints)
+        return ExportDataset(root)
     if name.startswith("euroc"):
         return EurocDataset(cfg.data_path, cfg.seq)
     if name.startswith("tsukuba"):
