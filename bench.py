@@ -191,11 +191,56 @@ def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
     # the production OK path (tracking._try_fused): coarse + fine as ONE
     # device program / ONE roundtrip per frame
     dust2local = np.arange(P_dust, dtype=np.int32)
+    fused_args = (Tcw, pos_d, desc_d, ones_d, dust, occ,
+                  pos_l, desc_l, mp_normal, ones_l, dust2local,
+                  kp_desc, kp_uv, kp_cov, kp_valid)
 
     def run_fused():
-        return k.fused_track(Tcw, pos_d, desc_d, ones_d, dust, occ,
-                             pos_l, desc_l, mp_normal, ones_l, dust2local,
-                             kp_desc, kp_uv, kp_cov, kp_valid)
+        return k.fused_track(*fused_args)
+
+    # --- device-side normalization (VERDICT r4 weak #3) -----------------
+    # The wall number rides the axon tunnel (~25 ms/call roundtrip a local
+    # chip never pays) and its day-to-day drift is what made the r4 step
+    # claim fragile (37.18 vs 47.83 ms across two same-round captures).
+    # Two tunnel-independent probes, both with EXACTLY the production
+    # call's transfer profile (same PackedInput split, same packed sizes):
+    #   fused_x2: the fused body run TWICE in-graph (pose chained) — its
+    #     wall minus the single-pass wall is one extra in-graph body
+    #     execution, i.e. the pure device compute of the fused stage;
+    #   fused_null: same inputs, same-size output, ~zero compute — the
+    #     per-call transfer+dispatch floor at the production byte sizes.
+    from sp_orb_slam_tpu.slam import kernels as kmod
+
+    dcfg = cfg.tracking.dust
+    mcfg = cfg.tracking.map
+    body_kw = dict(dust_iters=dcfg.iters, huber_delta=dcfg.huber_delta,
+                   chi2_inlier=dcfg.chi2_inlier,
+                   view_cos_th=mcfg.th_view_cos,
+                   window_th=float(mcfg.th_window_size),
+                   match_adaptive=mcfg.match_adaptive,
+                   c2_thresh=dcfg.c2_thresh)
+    K_intr, bounds = k.K_intr, k.bounds
+
+    def fused_body_x2(*args):
+        out1 = kmod.fused_track_body(*args, K_intr, bounds, **body_kw)
+        out2 = kmod.fused_track_body(out1["l_Tcw"], *args[1:], K_intr,
+                                     bounds, **body_kw)
+        return k.fused_layout.pack(**out2)
+
+    def fused_body_null(*args):
+        # touches every input, emits the production-size packed output,
+        # does no real work: the sized per-call floor
+        s = sum(jnp.sum(a[..., :1].astype(jnp.float32)) for a in args)
+        return jnp.full((k.fused_layout.total,), 0.0, jnp.float32) + s * 0.0
+
+    fused_x2 = kmod.PackedInput(fused_body_x2)
+    fused_null = kmod.PackedInput(fused_body_null)
+
+    def run_fused_x2():
+        return np.asarray(fused_x2(*fused_args))
+
+    def run_fused_null():
+        return np.asarray(fused_null(*fused_args))
 
     def timed(fn, iters=10, repeats=3, warmup=3):
         fn()  # compile
@@ -223,13 +268,50 @@ def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
         return np.asarray(null_fn(null_in))
 
     null_ms = timed(run_null)
-    fused_ms = timed(run_fused)
     dust_ms = timed(run_dust)
     local_ms = timed(run_local)
+
+    # The fused-stage probes are INTERLEAVED per repeat block: the axon
+    # tunnel drifts on minute scales (r4: 37.18 vs 47.83 ms same-round;
+    # r5a: 53.3 vs 36.1 within ONE bench run), so single/x2/null measured
+    # minutes apart see different tunnels and their differences are
+    # garbage.  Within one repeat the three run back-to-back; the device
+    # compute is the median of the PER-REPEAT (x2 - single) deltas.
+    for fn in (run_fused, run_fused_x2, run_fused_null):
+        fn()  # compile
+        fn()
+        fn()  # absorb post-compile stragglers
+    REPEATS_F, ITERS_F = 7, 8
+    singles, doubles, nulls = [], [], []
+    for _ in range(REPEATS_F):
+        for fn, acc in ((run_fused, singles), (run_fused_x2, doubles),
+                        (run_fused_null, nulls)):
+            t0 = time.perf_counter()
+            for _ in range(ITERS_F):
+                fn()
+            acc.append((time.perf_counter() - t0) / ITERS_F * 1e3)
+
+    def med(xs):
+        return sorted(xs)[len(xs) // 2]
+
+    fused_ms = med(singles)
+    fused_null_ms = med(nulls)
+    deltas = [d - s for d, s in zip(doubles, singles)]
+    fused_device_ms = max(med(deltas), 0.0)
+    # same-session reproducibility split: medians of the first and second
+    # halves of the interleaved capture must agree within 10%
+    half = REPEATS_F // 2
+    fused_ms_a = med(singles[:half])
+    fused_ms_b = med(singles[half:])
     # production OK path = amortized extraction + ONE fused coarse+fine
     # program per frame (tracking._try_fused); the split dust/local stages
     # are the fallback-cascade costs, reported for diagnostics
     step_ms = extract_ms_per_frame + fused_ms
+    # device-side step: what a LOCAL chip pays — amortized extraction
+    # (device-bound at B=32; its per-frame share of the block roundtrip is
+    # null_ms/B) + the fused stage's pure device compute
+    step_device_ms = (max(extract_ms_per_frame - null_ms / 32.0, 0.0)
+                      + fused_device_ms)
     # stderr: the driver contract is ONE JSON line on stdout (the headline
     # frames/s metric printed by main); this secondary metric rides stderr
     print(json.dumps({
@@ -240,9 +322,23 @@ def bench_tracking_step(cfg, extract_ms_per_frame: float) -> None:
         "vs_baseline": round(50.0 / step_ms, 2),
         "stages_ms": {"extract_amortized": round(extract_ms_per_frame, 2),
                       "fused_coarse_fine": round(fused_ms, 2),
+                      "fused_coarse_fine_half1": round(fused_ms_a, 2),
+                      "fused_coarse_fine_half2": round(fused_ms_b, 2),
                       "dust_track_unfused": round(dust_ms, 2),
                       "local_map_track_unfused": round(local_ms, 2),
                       "tunnel_roundtrip_floor": round(null_ms, 2)},
+        "device_ms": {
+            # step as a local (untunneled) deployment would see it
+            "step_device": round(step_device_ms, 2),
+            # fused-stage pure device compute: wall(body x2) - wall(body x1)
+            "fused_compute": round(fused_device_ms, 2),
+            # per-call floor at the production transfer sizes (packed
+            # input ~0.6 MB up, packed output ~40 KB down, zero compute)
+            "fused_sized_roundtrip_floor": round(fused_null_ms, 2),
+            # consistency check: compute + sized floor should bracket the
+            # wall number; a gap means tunnel drift mid-capture
+            "fused_wall_minus_parts": round(
+                fused_ms - fused_device_ms - fused_null_ms, 2)},
     }), file=sys.stderr)
 
 

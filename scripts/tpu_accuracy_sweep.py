@@ -37,10 +37,13 @@ def main() -> None:
     ap.add_argument("--online", action="store_true",
                     help="threaded-pipeline mode (mapper + looper on their "
                          "own threads; the reference protocol's regime)")
-    ap.add_argument("--warmup", action="store_true",
-                    help="System.warmup() before each run: precompile every "
-                         "kernel variant so frame_ms_max measures the "
-                         "steady state, not first-hit compiles")
+    ap.add_argument("--no-warmup", dest="warmup", action="store_false",
+                    help="skip the pre-run warmup (diagnostics only: the "
+                         "DEFAULT warms every kernel variant once so "
+                         "frame_ms_max measures the steady state — the r4 "
+                         "sweep was captured cold and its 13.9-22.7 s "
+                         "frame_ms_max rows were all first-hit compiles)")
+    ap.set_defaults(warmup=True)
     args = ap.parse_args()
 
     import jax
@@ -78,14 +81,23 @@ def main() -> None:
                     "init_ransac_iters": 60},
     })
 
+    from sp_orb_slam_tpu.slam.kernels import TrackingKernels
+
+    # ONE kernel set shared across seeds: jit caches live on the
+    # TrackingKernels closures, so per-seed instances would recompile
+    # every program per seed (the other reason the r4 sweep rows carried
+    # multi-second frame_ms_max) — warmed once, reused by every System
+    kernels = TrackingKernels(cfg)
     rows = []
+    warmed = False
     for seed in [int(s) for s in args.seeds.split(",") if s]:
         t0 = time.time()
         ds = SyntheticDataset(cfg, n_frames=args.frames, n_points=5000,
                               seed=seed, pixel_noise=0.3)
-        sys_ = System(cfg)
-        if args.warmup:
+        sys_ = System(cfg, kernels=kernels)
+        if args.warmup and not warmed:
             sys_.warmup()
+            warmed = True
         sys_.spin(ds)
         rep = sys_.report()
         ts_est, poses_est = sys_.trajectory()
@@ -103,6 +115,12 @@ def main() -> None:
                    frame_ms_max=(round(acc.max * 1e3, 2)
                                  if acc and acc.count else None),
                    wall_s=round(time.time() - t0, 1))
+        # post-warmup serving tail bound (VERDICT r4 weak #4): the worst
+        # frame must stay within 4x the mean once compiles are out of the
+        # run.  Only meaningful on warmed runs.
+        if args.warmup and row["frame_ms_mean"]:
+            row["tail_ok"] = bool(
+                row["frame_ms_max"] < 4.0 * row["frame_ms_mean"])
         rows.append(row)
         print(f"  seed {seed:2d}: ATE {row['ate_rmse']:.3f} "
               f"lost={row['n_lost']} kfs={row['n_kfs']} "
@@ -111,10 +129,13 @@ def main() -> None:
 
     ates = np.array([r["ate_rmse"] for r in rows])
     summary = dict(backend=backend, n_seeds=len(rows),
+                   warmup=bool(args.warmup),
                    ate_rmse_mean=round(float(ates.mean()), 4),
                    ate_rmse_max=round(float(ates.max()), 4),
                    n_lost_total=int(sum(r["n_lost"] for r in rows)),
                    n_failed=int(sum(not r["ok"] for r in rows)),
+                   n_tail_violations=int(sum(
+                       not r.get("tail_ok", True) for r in rows)),
                    rows=rows)
     print(json.dumps(summary))
     if args.out:
