@@ -57,18 +57,36 @@ def init_params(seed: int = 0, *, n_clusters: int = 64, desc_dim: int = 256,
     proj = rng.normal(0, 1.0 / np.sqrt(n_clusters * desc_dim),
                       (n_clusters * desc_dim, out_dim)).astype(np.float32)
     return {"centroids": cent, "proj": proj,
-            "alpha": np.float32(alpha), "residual": np.float32(0.0)}
+            "alpha": np.float32(alpha), "residual": np.float32(0.0),
+            "mean": np.zeros(n_clusters * desc_dim, np.float32)}
 
 
 def load_params(path: str) -> Dict[str, Any]:
-    """Load trained weights from an .npz with centroids/proj/alpha."""
+    """Load trained weights from an .npz with centroids/proj/alpha and the
+    optional centering mean (NetVLAD's PCA-whitening stage subtracts the
+    dataset-mean VLAD vector before projecting; without it, scene-common
+    aggregation structure inflates EVERY pairwise similarity and the
+    revisit-vs-distinct margin collapses — measured in
+    scripts/fit_vlad_centroids.py)."""
     z = np.load(path)
-    return {"centroids": z["centroids"].astype(np.float32),
-            "proj": z["proj"].astype(np.float32),
-            "alpha": np.float32(z["alpha"]) if "alpha" in z.files
-            else np.float32(80.0),
-            "residual": np.float32(z["residual"]) if "residual" in z.files
-            else np.float32(1.0)}
+    cent = z["centroids"].astype(np.float32)
+    if "proj" in z.files:
+        proj = z["proj"].astype(np.float32)
+    else:
+        # the seeded JL projection is deterministic — checkpoints store
+        # proj_seed + out_dim instead of the 256 MB matrix
+        C, D = cent.shape
+        base = init_params(int(z["proj_seed"]), n_clusters=C, desc_dim=D,
+                           out_dim=int(z["out_dim"]))
+        proj = base["proj"]
+    p = {"centroids": cent, "proj": proj,
+         "alpha": np.float32(z["alpha"]) if "alpha" in z.files
+         else np.float32(80.0),
+         "residual": np.float32(z["residual"]) if "residual" in z.files
+         else np.float32(1.0)}
+    p["mean"] = (z["mean"].astype(np.float32) if "mean" in z.files
+                 else np.zeros(p["proj"].shape[0], np.float32))
+    return p
 
 
 @partial(jax.jit, static_argnames=())
@@ -88,7 +106,7 @@ def global_descriptor(params, desc: jnp.ndarray,
         jnp.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12)
     v = vlad.reshape(-1)
     v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
-    out = v @ params["proj"]
+    out = (v - params["mean"]) @ params["proj"]
     return out / jnp.maximum(jnp.linalg.norm(out), 1e-12)
 
 
@@ -114,5 +132,5 @@ def global_descriptor_np(params, desc: np.ndarray,
     vlad /= np.maximum(np.linalg.norm(vlad, axis=-1, keepdims=True), 1e-12)
     v = vlad.reshape(-1)
     v /= max(float(np.linalg.norm(v)), 1e-12)
-    out = v @ np.asarray(params["proj"])
+    out = (v - np.asarray(params["mean"])) @ np.asarray(params["proj"])
     return (out / max(float(np.linalg.norm(out)), 1e-12)).astype(np.float32)

@@ -105,3 +105,33 @@ def test_system_wires_vlad_source():
         "loop": {"use_loop": True, "global_desc_source": "dataset"}})
     s2 = System(cfg2)
     assert s2.map.global_desc_fn is None
+
+
+def test_trained_checkpoint_loads_and_centers():
+    """The committed fitted checkpoint (weights/vlad_rendered.npz) loads
+    through load_params with the seed-regenerated projection and the
+    centering mean; centered embeddings stay unit-norm and differ from the
+    random-init regime's."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "weights", "vlad_rendered.npz")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("fitted VLAD checkpoint not present")
+    p = netvlad.load_params(path)
+    assert p["proj"].shape == (64 * 256, 4096)
+    assert p["mean"].shape == (64 * 256,)
+    assert float(np.abs(p["mean"]).max()) > 0  # centering is real
+    rng = np.random.default_rng(0)
+    desc = rng.normal(size=(100, 256)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+    valid = np.ones(100, bool)
+    g = netvlad.global_descriptor_np(p, desc, valid)
+    assert abs(float(np.linalg.norm(g)) - 1.0) < 1e-5
+    g_jax = np.asarray(netvlad.global_descriptor(p, desc, valid))
+    np.testing.assert_allclose(g, g_jax, atol=1e-5)
+    # init_params (mean = 0) is unchanged by the centering field
+    base = netvlad.init_params(0)
+    assert float(np.abs(base["mean"]).max()) == 0.0
