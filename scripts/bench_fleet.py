@@ -101,8 +101,8 @@ def main():
         streams = [_render_stream(cfg, args.frames, s) for s in range(n)]
 
         fleet = StreamFleet(cfg, n, params=params)
-        t_timed = 0.0
-        n_timed = 0
+        fleet.warmup()  # serving discipline: no first-hit compiles in-run
+        ticks = []
         for i in range(args.frames):
             raws = [RawFrame(image=streams[s][i], timestamp=i / 20.0)
                     for s in range(n)]
@@ -110,20 +110,22 @@ def main():
             fleet.tick(raws)
             dt = time.perf_counter() - t0
             if i >= args.warmup:
-                t_timed += dt
-                n_timed += 1
+                ticks.append(dt)
         n_ok = sum(1 for s in fleet.systems
                    if s.tracker.state == tracking.OK
                    and s.map.n_keyframes() >= 2)
         fleet.shutdown()
 
-        ms = t_timed / max(n_timed, 1) * 1e3
-        fps = n / (ms / 1e3)
+        tk = np.sort(np.asarray(ticks)) * 1e3
+        ms = float(np.mean(tk)) if tk.size else 0.0
+        fps = n / (ms / 1e3) if ms else 0.0
         print(json.dumps({
             "metric": "fleet_slam_fps",
             "streams": n,
             "online": bool(args.online),
             "ms_per_tick": round(ms, 2),
+            "ms_per_tick_p50": round(float(tk[len(tk) // 2]), 2) if tk.size else None,
+            "ms_per_tick_p90": round(float(tk[int(len(tk) * 0.9)]), 2) if tk.size else None,
             "stream_fps": round(fps, 1),
             "streams_at_20hz": int(fps / 20.0),
             "ok_streams": n_ok,

@@ -8,9 +8,13 @@ against the XLA path on-chip (compiled, HIGHEST-precision dots) before
 trusting its numbers.  ONE process against the chip (verify skill).
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

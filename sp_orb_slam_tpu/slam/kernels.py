@@ -927,11 +927,13 @@ class TrackingKernels:
         fuse_row = (eye, pos_l, desc_l, normal_l, np.zeros(L, np.float32),
                     np.zeros(L, np.float32), val_l, uv, desc_k, val_k)
         self.fuse(*fuse_row)
-        # the mapper's batched drives at their steady-state width (the
-        # smaller pow2 widths compile during early-map spins where latency
-        # is uncritical; width 8 is what a mature map hits every KF)
-        self.triangulate_pair_batch([tri_row] * 8)
-        self.fuse_batch([fuse_row] * 8)
+        # the mapper's batched drives at EVERY pow2 chunk width: the r5
+        # warm TPU sweep showed the width-2/4 variants compiling mid-run
+        # as multi-second frame tails (early-map spins have 2-4 neighbor
+        # KFs; a mature map hits width 8 every KF)
+        for w in (2, 4, 8):
+            self.triangulate_pair_batch([tri_row] * w)
+            self.fuse_batch([fuse_row] * w)
         if ba:
             from sp_orb_slam_tpu.optim import ba as ba_mod
 

@@ -113,6 +113,19 @@ class MapPointPool:
             dirty.update(int(i) for i in np.nonzero(self.alive)[0])
         if dirty:
             idx = np.fromiter(dirty, np.int64, len(dirty))
+            # pow2-pad the scatter: len(dirty) varies every flush, and a
+            # data-dependent shape here means a fresh XLA compile per
+            # distinct count — measured as recurring multi-second frame
+            # tails throughout the r5 warm TPU sweep (compiles are seconds
+            # over the tunnel).  Padding repeats row 0 (same value written
+            # twice — idempotent), bounding compiles to log2(capacity)
+            # buckets.
+            n = len(idx)
+            m = 1
+            while m < n:
+                m *= 2
+            if m > n:
+                idx = np.concatenate([idx, np.full(m - n, idx[0], np.int64)])
             bank = bank.at[jnp.asarray(idx)].set(jnp.asarray(host[idx]))
             dirty.clear()
             self._bank_version[name] += 1
