@@ -109,6 +109,12 @@ def main() -> None:
                    n_lost=rep["n_lost"], n_kfs=rep["n_keyframes"],
                    min_fine_inliers=int(min(sys_.tracker.inlier_fine[5:],
                                             default=0)),
+                   # the [5:] minimum lands in the early-map ramp (init map
+                   # ~130-220 points; inliers grow monotonically as the map
+                   # builds — round-5 NOTES); the mature-map minimum is the
+                   # binding-health signal
+                   min_fine_mature=int(min(sys_.tracker.inlier_fine[20:],
+                                           default=0)),
                    ok=bool(sys_.tracker.state == tr.OK),
                    frame_ms_mean=(round(acc.total / acc.count * 1e3, 2)
                                   if acc and acc.count else None),

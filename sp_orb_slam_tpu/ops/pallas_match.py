@@ -117,8 +117,10 @@ def match_init_batch(desc1: jnp.ndarray, valid1: jnp.ndarray,
     """
     B, M, D = desc1.shape
     N = desc2.shape[1]
-    tm = min(tm, M)
-    assert M % tm == 0, (M, tm)
+    # row-tile: the largest divisor of M that is <= tm and sublane-aligned
+    # (the production K=896 is 7*128 — a fixed 256 would not divide it)
+    assert M % 8 == 0, M
+    tm = next(c for c in range(min(tm, M), 0, -8) if M % c == 0)
 
     a1 = jnp.concatenate(
         [prev_uv.astype(jnp.float32),

@@ -79,3 +79,53 @@ def test_sharded_step_streams_independent(rng):
                                   np.asarray(match_b))
     np.testing.assert_allclose(np.asarray(Tcw_a)[perm], np.asarray(Tcw_b),
                                rtol=0, atol=1e-5)
+
+
+def test_mapper_batches_shard_over_mesh(rng):
+    """The mapper's batched triangulate/fuse chunks (kernels.call_rows)
+    shard over the stream mesh when the chunk width divides it, and the
+    sharded results equal the unsharded ones row-for-row."""
+    from jax.sharding import NamedSharding
+
+    from sp_orb_slam_tpu.config import Config, _merge_dataclass
+    from sp_orb_slam_tpu.slam.kernels import TrackingKernels
+
+    cfg = _merge_dataclass(Config(), {
+        "camera": {"width": 96, "height": 64, "fx": 80.0, "fy": 80.0,
+                   "cx": 48.0, "cy": 32.0, "fps": 20.0},
+        "tracking": {"num_features": 60},
+        "runtime": {"max_keypoints": 64, "dust_points_cap": 64,
+                    "local_points_cap": 128},
+    })
+    kernels = TrackingKernels(cfg)
+    K = cfg.runtime.max_keypoints
+
+    def tri_row(i):
+        T2 = np.eye(4, dtype=np.float32)
+        T2[0, 3] = 0.3 + 0.05 * i
+        uv1 = rng.uniform(8, 88, (K, 2)).astype(np.float32)
+        uv2 = uv1 + rng.uniform(-2, 2, (K, 2)).astype(np.float32)
+        d = rng.normal(size=(K, 256)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        cov = np.ones((K, 2), np.float32)
+        free = np.ones(K, bool)
+        return (np.eye(4, dtype=np.float32), T2, uv1, d, cov, free,
+                uv2, d, cov, free)
+
+    rows = [tri_row(i) for i in range(8)]
+    plain = kernels.triangulate_pair_batch(rows)
+    assert kernels._tri.last_batch_placement["sharded"] is False
+
+    mesh = pmesh.make_mesh(8, platform="cpu")
+    kernels.batch_sharding = NamedSharding(
+        mesh, jax.sharding.PartitionSpec("stream"))
+    sharded = kernels.triangulate_pair_batch(rows)
+    pl = kernels._tri.last_batch_placement
+    assert pl["sharded"] and pl["out"].spec[0] == "stream"
+    for a, b in zip(plain, sharded):
+        np.testing.assert_array_equal(a["match21"], b["match21"])
+        np.testing.assert_allclose(a["points"], b["points"], atol=1e-5)
+        np.testing.assert_array_equal(a["good"], b["good"])
+    # a width-2 chunk does not divide the mesh: must fall back, not crash
+    kernels.triangulate_pair_batch(rows[:2])
+    assert kernels._tri.last_batch_placement["sharded"] is False

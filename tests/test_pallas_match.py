@@ -93,3 +93,25 @@ def test_match_init_matches_search_for_initialization():
                             jnp.asarray(uv2), jnp.asarray(v2))
     np.testing.assert_array_equal(np.asarray(m12), np.asarray(g12))
     np.testing.assert_array_equal(np.asarray(n), np.asarray(gn))
+
+
+def test_match_init_batch_production_k896():
+    """The production keypoint cap is 896 = 7*128, which a fixed 256 row
+    tile does not divide — the r5 chip batch hit the assertion.  The tile
+    now derives from M; assert golden equality at the real cap."""
+    rng = np.random.default_rng(13)
+    B, M, N = 1, 896, 896
+    d1, v1, uv1, d2, uv2, v2 = _mk(rng, B, M, N)
+    m12, n, _ = match_init_batch(d1, v1, uv1, d2, uv2, v2,
+                                 window=100, ratio=0.9, interpret=True)
+
+    def one(pd, pv, puv, dd, duv, dv):
+        m = matching.search_for_initialization(pd, pv, puv, dd, duv, dv,
+                                               window=100, ratio=0.9)
+        return m.match12, m.n_matches
+
+    g12, gn = jax.vmap(one)(jnp.asarray(d1), jnp.asarray(v1),
+                            jnp.asarray(uv1), jnp.asarray(d2),
+                            jnp.asarray(uv2), jnp.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(m12), np.asarray(g12))
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(gn))
