@@ -79,6 +79,12 @@ def main():
                     help="ticks before timing starts (init + compiles)")
     ap.add_argument("--online", action="store_true",
                     help="threaded mappers (overlap BA with tracking)")
+    ap.add_argument("--localization", action="store_true",
+                    help="multi-camera localization serving: build + save "
+                         "a map from stream 0 once, then every stream "
+                         "localizes against the frozen map (no mapper work "
+                         "in the tick at all — the pure 3-batched-programs "
+                         "regime)")
     args = ap.parse_args()
 
     import jax
@@ -92,15 +98,39 @@ def main():
     widths = [int(s) for s in args.streams.split(",")]
     params = superpoint.init_params(jax.random.PRNGKey(0))
 
+    map_path = None
+    if args.localization:
+        # build the shared map once from stream 0's rail, offline
+        import os
+        import tempfile
+
+        from sp_orb_slam_tpu.slam.system import System
+
+        cfg0 = _merge_dataclass(Config(), {
+            "camera": {"k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0}})
+        sys0 = System(cfg0, params=params)
+        frames0 = _render_stream(cfg0, args.frames, 0)
+        for i in range(args.frames):
+            sys0.run(RawFrame(image=frames0[i], timestamp=i / 20.0))
+        assert sys0.tracker.state == tracking.OK
+        map_path = os.path.join(tempfile.mkdtemp(), "fleet_map.npz")
+        sys0.save_map(map_path)
+        print(json.dumps({"localization_map": map_path,
+                          "n_keyframes": sys0.map.n_keyframes()}),
+              flush=True)
+
     for n in widths:
         cfg = _merge_dataclass(Config(), {
             "camera": {"k1": 0.0, "k2": 0.0, "p1": 0.0, "p2": 0.0},
             "online": bool(args.online),
             "runtime": {"streams": n},
         })
-        streams = [_render_stream(cfg, args.frames, s) for s in range(n)]
+        streams = [_render_stream(cfg, args.frames, 0 if args.localization
+                                  else s) for s in range(n)]
 
         fleet = StreamFleet(cfg, n, params=params)
+        if map_path is not None:
+            fleet.load_map(map_path, localization=True)
         fleet.warmup()  # serving discipline: no first-hit compiles in-run
         ticks = []
         for i in range(args.frames):
@@ -123,6 +153,7 @@ def main():
             "metric": "fleet_slam_fps",
             "streams": n,
             "online": bool(args.online),
+            "localization": bool(args.localization),
             "ms_per_tick": round(ms, 2),
             "ms_per_tick_p50": round(float(tk[len(tk) // 2]), 2) if tk.size else None,
             "ms_per_tick_p90": round(float(tk[int(len(tk) * 0.9)]), 2) if tk.size else None,

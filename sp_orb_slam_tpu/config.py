@@ -140,7 +140,14 @@ class TrackingConfig:
     # bursts low-parallax KFs onto a young map and destabilizes BA.  These
     # two gates apply ONLY to the bare-idle creation path (never to the
     # weak-tracking c1b or starvation c3 paths).  0 disables either.
-    create_kf_min_gap: int = 0          # min frames since the last KF
+    # Default 5 (round-5 A/B, measured on BOTH rails): 10-seed sweep ATE
+    # mean 0.0084 -> 0.0070 / max 0.020 -> 0.0141 with fewer KFs
+    # (17.6 -> 15.3); rendered image rail ATE 0.0707 -> 0.0667 (50 -> 46
+    # KFs), loop still closes, 0 LOST.  gap 3 and baseline-ratio gates
+    # measured as no-ops.  At 20 fps this is 4 KF/s max on the idle path —
+    # the reference's online regime gets the same pacing implicitly from
+    # mapper busyness.
+    create_kf_min_gap: int = 5          # min frames since the last KF
     create_kf_min_baseline_ratio: float = 0.0  # min baseline(frame, refKF)
     #   / refKF scene median depth; below ~0.01 local mapping skips the
     #   pair for triangulation anyway (local_mapper.cpp baseline gate), so

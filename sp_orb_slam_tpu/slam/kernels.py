@@ -934,6 +934,20 @@ class TrackingKernels:
         for w in (2, 4, 8):
             self.triangulate_pair_batch([tri_row] * w)
             self.fuse_batch([fuse_row] * w)
+        # the device-bank dirty-row scatter (MapPointPool.device_bank) is
+        # an EAGER .at[].set whose pow2-bucketed widths each compile on
+        # first flush (jit(scatter) on the (capacity, 256) bank — the last
+        # first-run straggler in the r5 warm sweep); the compile cache is
+        # process-wide on shapes, so throwaway eager calls warm it
+        m = 1
+        while m <= pool_capacity:
+            idx = jnp.zeros(m, jnp.int32)
+            jax.block_until_ready(
+                bank.at[idx].set(jnp.zeros((m, 256), jnp.float32)))
+            m *= 2
+        # eager PRNG split + unpack (per init attempt, two-view bootstrap)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        jax.block_until_ready((k1, k2))
         if ba:
             from sp_orb_slam_tpu.optim import ba as ba_mod
 
