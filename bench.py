@@ -41,10 +41,12 @@ def main() -> None:
 
     import os
     # SP_BENCH_MATCH / SP_BENCH_HEAT_SHUFFLE: on-chip A/B knobs for the
-    # round-4 tail work (scripts/profile_r4g.py); the defaults are the
-    # measured winners
-    match_method = os.environ.get("SP_BENCH_MATCH", "xla")
-    heat_shuffle = os.environ.get("SP_BENCH_HEAT_SHUFFLE", "transpose")
+    # round-4/5 tail work (scripts/profile_r4g.py); the defaults are the
+    # measured winners (r5b chip A/B, full fused program at B=32:
+    # xla/transpose 35.08 ms, xla/slices 34.79, pallas/transpose 34.13,
+    # pallas/slices 33.90 = 944 f/s)
+    match_method = os.environ.get("SP_BENCH_MATCH", "pallas")
+    heat_shuffle = os.environ.get("SP_BENCH_HEAT_SHUFFLE", "slices")
 
     @jax.jit
     def step(images, prev_desc, prev_uv, prev_valid):

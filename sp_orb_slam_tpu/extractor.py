@@ -47,7 +47,7 @@ def extract(params, images: jnp.ndarray, *, num_features: int,
             cov_method: str = "auto", nms_method: str = "auto",
             desc_method: str = "auto", conv_packing: str = "auto",
             with_heat: bool = False, with_heat_inv: bool = True,
-            emission: str = "sort", heat_shuffle: str = "transpose",
+            emission: str = "sort", heat_shuffle: str = "slices",
             compute_dtype=jnp.float32) -> Features:
     """images: (B, H, W) float32 in [0, 1].
 

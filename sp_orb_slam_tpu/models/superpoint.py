@@ -190,7 +190,7 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
             conv_packing: str = "none",
             with_heat: bool = True,
             with_heat_inv: bool = True,
-            heat_shuffle: str = "transpose",
+            heat_shuffle: str = "slices",
             compute_dtype=jnp.float32) -> FrontendOut:
     """Run the frontend on images (B, H, W) float32 in [0, 1].
 
@@ -295,7 +295,9 @@ def forward(params: Dict[str, Any], images: jnp.ndarray, *,
             # dy, 8+dy, ... are exactly heat_log[..., dy*8:(dy+1)*8]
             # flattened row-major over (wc, 8) — a contiguous reshape with
             # W=752 on the minor axis instead of the 5D transpose whose
-            # minor axis is the 8-wide dx (quarter-lane relayout)
+            # minor axis is the 8-wide dx (quarter-lane relayout).
+            # Bit-identical relayout; the DEFAULT since the r5b chip A/B
+            # (full fused program, B=32: 34.79 vs 35.08 ms/batch)
             rows = [heat_log[..., dy * cell:(dy + 1) * cell].reshape(B, hc, W)
                     for dy in range(cell)]
             heat_full = jnp.stack(rows, axis=2).reshape(B, H, W)
