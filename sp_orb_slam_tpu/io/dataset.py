@@ -589,7 +589,8 @@ class ReferenceExportDataset:
             cov2_inv[:] = ci
             response[:] = resp
         inj = dict(uv=uv, desc=desc, valid=valid, occ_grid=occ, dust=dust,
-                   cov2_inv=cov2_inv, score=score, count=n)
+                   cov2_inv=cov2_inv, score=score, response=response,
+                   count=n)
         return inj
 
     def __iter__(self) -> Iterator[RawFrame]:

@@ -197,7 +197,7 @@ class System:
             frame_id=self.frame_id,
             timestamp=raw.timestamp,
             uv=inj["uv"], score=inj["score"],
-            response=inj["score"], valid=inj["valid"],
+            response=inj.get("response", inj["score"]), valid=inj["valid"],
             cov2_inv=inj["cov2_inv"], occ_grid=inj["occ_grid"],
             count=inj["count"],
             global_desc=raw.global_desc,
