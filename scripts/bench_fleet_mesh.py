@@ -115,7 +115,7 @@ def main() -> None:
         fleet.shutdown()
         if mesh is not None:
             # placement sanity on the last tick's batched stages
-            pl = fleet.kernels._dust.last_batch_placement
+            pl = fleet.kernels._dust_bank.last_batch_placement
             assert pl and pl["sharded"], pl
             s = pl["out"]
             assert isinstance(s, NamedSharding) and s.spec[0] == "stream", s

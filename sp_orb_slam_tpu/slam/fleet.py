@@ -56,6 +56,15 @@ class StreamFleet:
         self._preprocess = build_preprocess(cfg)
         self.n_batched_dust = 0   # stream-frames served by the batched stages
         self.n_batched_local = 0
+        self.n_batched_motion = 0  # dust-fail fallbacks served batched
+        self.n_batched_retry = 0   # fine retry requests served batched
+        # bank-args mode (kernels.BankRows): preps hand back gather inputs,
+        # the batched kernels gather in-graph — no per-stream dispatches
+        for s in self.systems:
+            s.tracker.fleet_bank_mode = True
+        self._bank_stack_cache = None   # (ids, banks, PreStacked)
+        self._tick_feats = None         # this tick's batched extraction
+        self._tick_slot = {}            # stream index -> extraction row
         self._sharding = None
         self.last_extract_placement = None
         if mesh is not None:
@@ -96,6 +105,8 @@ class StreamFleet:
 
         if len(raws) != self.n:
             raise ValueError(f"expected {self.n} streams, got {len(raws)}")
+        self._tick_feats = None
+        self._tick_slot = {}
         out: List[Optional[np.ndarray]] = [None] * self.n
         img_streams = [i for i, r in enumerate(raws)
                        if r is not None and r.injected is None]
@@ -128,6 +139,8 @@ class StreamFleet:
             feats = self._extract(dev)
             self.last_extract_placement = {
                 "in": dev.sharding, "out": feats.uv.sharding}
+            self._tick_feats = feats
+            self._tick_slot = {i: b for b, i in enumerate(img_streams)}
             packed = np.asarray(self._fetch_batch(
                 feats.uv, feats.score, feats.response, feats.valid,
                 feats.cov2_inv, feats.occ_grid, feats.count))
@@ -150,18 +163,33 @@ class StreamFleet:
             frames[i] = sysi._frame_from_injected(raws[i])
             frames[i].global_desc = raws[i].global_desc
 
-        # phased drive: coarse for every stream -> batched fine kernel ->
-        # per-stream fine consumption + post-track.  The whole OK-path
-        # device work per tick is then 3 batched programs (extract, dust,
-        # local-map) + rare per-stream fallbacks, instead of 1 + 2N.
+        # phased drive: coarse for every stream -> batched motion fallback
+        # for the streams whose dust stage failed -> batched fine kernel ->
+        # per-stream fine consumption + post-track.  The whole per-tick
+        # device work is then a BOUNDED number of batched programs
+        # (extract, dust, motion-fallback, local-map) + rare per-stream
+        # paths (init, reloc, ref-KF), instead of 1 + O(N).
         self._dust_prepass(frames)
+        deferred = []
         for i, frame in frames.items():
             sysi = self.systems[i]
             if sysi.cfg.online:
                 sysi.start_threads()
             with sysi.timer.span("tracking/total"):
-                sysi.tracker.track_frame_coarse(frame)
+                margs = sysi.tracker.coarse_phase1(frame)
+            if margs is not None:
+                deferred.append((i, frame, margs))
+        if deferred:
+            self.n_batched_motion += len(deferred)
+            rows = self._prestack([d[2] for d in deferred],
+                                  [d[0] for d in deferred], ((4, "desc"),))
+            outs = self._run_batched(self.kernels.motion_track_batch, rows)
+            for (i, frame, _), o in zip(deferred, outs):
+                sysi = self.systems[i]
+                with sysi.timer.span("tracking/total"):
+                    sysi.tracker.coarse_phase2(frame, o)
         self._local_prepass(frames)
+        self._fine_retry_rounds(frames)
         for i, frame in frames.items():
             sysi = self.systems[i]
             with sysi.timer.span("tracking/total"):
@@ -169,6 +197,43 @@ class StreamFleet:
             sysi._post_track(frame, raws[i])
             out[i] = sysi._last_valid_pose()
         return out
+
+    def _fine_retry_rounds(self, frames: dict) -> None:
+        """Drive every stream's fine retry machine (tracking._fine_begin /
+        _fine_step) in lock-step rounds: per round, ONE batched wide-search
+        program covers the "wide"/"vel"/"polish" requests (identical kernel
+        + arg shapes) and ONE batched multi-start program covers the
+        "reloc" requests — so a tick where every stream needs the full
+        rescue cascade still dispatches O(rounds) programs, not O(N)."""
+        reqs = {}
+        for i, frame in frames.items():
+            t = self.systems[i].tracker
+            r = t.fine_begin_fleet(frame)
+            if r is not None:
+                reqs[i] = (t, frame, r)
+        while reqs:
+            nxt = {}
+            wide_grp = [(i, t, f, r[1]) for i, (t, f, r) in reqs.items()
+                        if r[0] != "reloc"]
+            reloc_grp = [(i, t, f, r[1]) for i, (t, f, r) in reqs.items()
+                         if r[0] == "reloc"]
+            for grp, batch_fn, desc_pos in (
+                    (wide_grp, lambda rows, bank=False: self.kernels
+                     .local_map_track_batch(rows, wide=True, bank=bank),
+                     ((7, "desc"),)),
+                    (reloc_grp, self.kernels.reloc_track_batch,
+                     ((4, "desc"),))):
+                if not grp:
+                    continue
+                self.n_batched_retry += len(grp)
+                rows = self._prestack([g[3] for g in grp],
+                                      [g[0] for g in grp], desc_pos)
+                outs = self._run_batched(batch_fn, rows)
+                for (i, t, f, _), o in zip(grp, outs):
+                    r2 = t.fine_step_fleet(f, o)
+                    if r2 is not None:
+                        nxt[i] = (t, f, r2)
+            reqs = nxt
 
     def _dust_prepass(self, frames: dict) -> None:
         """Batch the dust coarse stage across every OK stream: one vmapped
@@ -193,17 +258,20 @@ class StreamFleet:
             # mapper thread runs concurrently, and prepare_dust walks the
             # point pool / keyframes
             with t.map.update_lock:
-                p = t.prepare_dust(frame)
+                p = t.prepare_dust(frame, bank_desc=True)
             if p is None:
                 t.staged_dust = (frame, None)
             else:
-                preps.append((t, frame, p))
+                preps.append((i, t, frame, p))
         if not preps:
             return
         self.n_batched_dust += len(preps)
-        outs = self._run_batched(self.kernels.dust_track_batch,
-                                 [p[2][2] for p in preps])
-        for (t, frame, (pids, Tcw_pred, _)), o in zip(preps, outs):
+        rows = self._prestack([p[3][2] for p in preps],
+                              [p[0] for p in preps],
+                              ((4, "dense_dust"), (5, "occ_grid"),
+                               (6, "desc")))
+        outs = self._run_batched(self.kernels.dust_track_batch, rows)
+        for (i, t, frame, (pids, Tcw_pred, _)), o in zip(preps, outs):
             t.staged_dust = (frame, (pids, Tcw_pred, o))
 
     def _local_prepass(self, frames: dict) -> None:
@@ -218,28 +286,94 @@ class StreamFleet:
             if t._phase is None or not t._phase[0]:
                 continue        # init frame, or every coarse stage failed
             with t.map.update_lock:
-                prep = t.prepare_local_map(frame)
-            groups[prep["wide"]].append((t, frame, prep))
+                prep = t.prepare_local_map(frame, bank_desc=True)
+            groups[prep["wide"]].append((i, t, frame, prep))
         for wide, grp in groups.items():
             if not grp:
                 continue
             self.n_batched_local += len(grp)
+            rows = self._prestack([p["args"] for _, _, _, p in grp],
+                                  [g[0] for g in grp], ((7, "desc"),))
             outs = self._run_batched(
-                lambda rows, w=wide: self.kernels.local_map_track_batch(
-                    rows, wide=w),
-                [p["args"] for _, _, p in grp])
-            for (t, frame, prep), o in zip(grp, outs):
+                lambda rows, w=wide, bank=False: self.kernels
+                .local_map_track_batch(rows, wide=w, bank=bank),
+                rows)
+            for (i, t, frame, prep), o in zip(grp, outs):
                 t.staged_local = (frame, prep, o)
 
-    def _run_batched(self, batch_fn, rows: list) -> list:
+    def _run_batched(self, batch_fn, rows: list, desc_idx: int = 2) -> list:
         """Pad per-stream arg tuples to the fixed fleet width (repeat row 0
         — one compile) and run the batched kernel; the kernels' PackedInput
-        adapters turn the host args of ALL rows into one stacked upload."""
+        adapters turn the host args of ALL rows into one stacked upload.
+        Rows whose descriptor slot is a BankRows placeholder are converted
+        to the bank-gather kernel layout (gather runs in-graph)."""
         n_live = len(rows)
         rows = list(rows)
         while len(rows) < self.n:
             rows.append(rows[0])
-        return batch_fn(rows)[:n_live]
+        rows, bank = self._bankify(rows, desc_idx)
+        return batch_fn(rows, bank=bank)[:n_live]
+
+    def _bankify(self, rows: list, desc_idx: int):
+        """BankRows rows -> bank-kernel layout: the host row indices take
+        the descriptor slot and ONE trailing PreStacked carries the stacked
+        per-stream descriptor banks.  The stack is cached across ticks
+        keyed on the bank arrays' identities (refs held so ids can't be
+        recycled) — banks change only at mapper events, so a localization
+        fleet uploads the stack once per session."""
+        from sp_orb_slam_tpu.slam.kernels import BankRows, PreStacked
+
+        if not isinstance(rows[0][desc_idx], BankRows):
+            return rows, False
+        import jax
+        import jax.numpy as jnp
+
+        banks = [r[desc_idx].bank for r in rows]
+        key = tuple(id(b) for b in banks)
+        if self._bank_stack_cache is None or self._bank_stack_cache[0] != key:
+            stacked = jnp.stack(banks)
+            if self._sharding is not None:
+                stacked = jax.device_put(stacked, self._sharding)
+            self._bank_stack_cache = (key, banks, PreStacked(stacked))
+        ps = self._bank_stack_cache[2]
+        out = []
+        for r in rows:
+            rr = list(r)
+            rr[desc_idx] = r[desc_idx].rows
+            rr.append(ps)
+            out.append(tuple(rr))
+        return out, True
+
+    def _prestack(self, rows: list, stream_ids: list, pos_fields) -> list:
+        """Replace per-stream sliced frame args (each a row of this tick's
+        batched extraction output) with ONE gathered PreStacked per arg
+        position: one take-dispatch per arg for the whole fleet instead of
+        N slice dispatches + a stack inside call_rows."""
+        from sp_orb_slam_tpu.slam.kernels import PreStacked
+
+        feats = self._tick_feats
+        if feats is None or any(i not in self._tick_slot
+                                for i in stream_ids):
+            return rows
+        import jax
+        import jax.numpy as jnp
+
+        idx = [self._tick_slot[i] for i in stream_ids]
+        while len(idx) < self.n:
+            idx.append(idx[0])
+        idxa = jnp.asarray(np.asarray(idx, np.int32))
+        rows = [list(r) for r in rows]
+        for pos_, field in pos_fields:
+            arr = getattr(feats, field)
+            if arr is None:
+                continue
+            g = jnp.take(arr, idxa, axis=0)
+            if self._sharding is not None:
+                g = jax.device_put(g, self._sharding)
+            ps = PreStacked(g)
+            for r in rows:
+                r[pos_] = ps
+        return [tuple(r) for r in rows]
 
     def warmup(self) -> None:
         """Precompile every device program a serving tick can hit — the
@@ -280,25 +414,42 @@ class StreamFleet:
             v[:4] = True
             return v
 
+        from sp_orb_slam_tpu.slam.kernels import BankRows
+
         bank = jnp.zeros((cap, 256), jnp.float32)
-        desc_p = self.kernels.gather_rows(bank, np.zeros(P, np.int32),
-                                          val(P))
-        desc_l = self.kernels.gather_rows(bank, np.zeros(L, np.int32),
-                                          val(L))
+        # per-stream gathers still serve the per-stream fallback paths
+        self.kernels.gather_rows(bank, np.zeros(P, np.int32), val(P))
+        self.kernels.gather_rows(bank, np.zeros(L, np.int32), val(L))
+        # the batched fleet stages run in bank-args mode: the descriptor
+        # slot is a BankRows placeholder and _run_batched converts to the
+        # bank-gather kernels (exactly the production tick's layout)
+        br_p = BankRows(np.zeros(P, np.int32), val(P), bank)
+        br_l = BankRows(np.zeros(L, np.int32), val(L), bank)
         desc_k = jnp.zeros((K, 256), jnp.float32)
         uv = np.zeros((K, 2), np.float32)
         cov = np.ones((K, 2), np.float32)
         dust = jnp.zeros((hc, wc), jnp.float32)
         occ = jnp.full((hc, wc), -1, jnp.int32)
         if cfg.tracking.coarse_method != "heat":
-            drow = (eye, np.zeros((P, 3), np.float32), desc_p, val(P), dust,
+            drow = (eye, np.zeros((P, 3), np.float32), br_p, val(P), dust,
                     occ, desc_k, uv, cov, val(K))
-            self.kernels.dust_track_batch([drow] * self.n)
-        lrow = (eye, np.zeros((L, 3), np.float32), desc_l,
+            self._run_batched(self.kernels.dust_track_batch,
+                              [drow] * self.n)
+        lrow = (eye, np.zeros((L, 3), np.float32), br_l,
                 np.zeros((L, 3), np.float32), val(L), np.zeros(L, bool),
                 np.full(K, -1, np.int64), desc_k, uv, cov, val(K))
-        self.kernels.local_map_track_batch([lrow] * self.n, wide=False)
-        self.kernels.local_map_track_batch([lrow] * self.n, wide=True)
+        for wide in (False, True):
+            self._run_batched(
+                lambda rows, w=wide, bank=False: self.kernels
+                .local_map_track_batch(rows, wide=w, bank=bank),
+                [lrow] * self.n)
+        mrow = (eye, np.zeros((L, 3), np.float32), br_l, val(L),
+                desc_k, uv, cov, val(K))
+        self._run_batched(self.kernels.motion_track_batch, [mrow] * self.n)
+        T0s = np.stack([np.eye(4, dtype=np.float32)] * 16)
+        rrow = (T0s, np.zeros((L, 3), np.float32), br_l, val(L),
+                desc_k, uv, cov, val(K))
+        self._run_batched(self.kernels.reloc_track_batch, [rrow] * self.n)
 
     # ------------------------------------------------------------- lifecycle
 

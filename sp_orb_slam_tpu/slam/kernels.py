@@ -115,6 +115,58 @@ def _next_pow2_k(x: int) -> int:
     return p
 
 
+class PreStacked:
+    """Marks a device argument that is ALREADY stacked across a call_rows
+    batch: the adapter uses `.array` (leading dim = batch rows) directly
+    instead of jnp.stack-ing N per-row arrays — the per-row slices never
+    exist, so a batched stage costs one dispatch for the whole fleet, not
+    N slice dispatches + a stack.  Every row of the batch must carry the
+    SAME PreStacked object at the same position (the fleet builds one per
+    tick from the batched extraction output / the stacked descriptor
+    banks)."""
+
+    __slots__ = ("array",)
+
+    def __init__(self, array):
+        self.array = array
+
+
+class BankRows:
+    """Descriptor-argument placeholder for the fleet's bank-args mode:
+    instead of a per-stream on-device row gather (one dispatch per stream
+    per stage — the dominant per-tick dispatch count in the r5 fleet
+    profile), the prep hands back the gather's INPUTS and the batched
+    kernel computes `where(valid, bank[rows], 0)` in-graph.  The fleet
+    converts: rows (host int32) takes the descriptor slot, the stacked
+    banks ride along as one trailing PreStacked device arg."""
+
+    __slots__ = ("rows", "valid", "bank")
+
+    def __init__(self, rows, valid, bank):
+        self.rows = rows
+        self.valid = valid
+        self.bank = bank
+
+
+def _bank_variant(body_fn, desc_idx: int, valid_idx: int):
+    """Wrap a kernel body so the descriptor argument at `desc_idx` is
+    gathered in-graph: callers pass the bank-row indices (host int32) at
+    `desc_idx` and append the device descriptor bank as the LAST
+    argument."""
+
+    def fn(*args):
+        rows = args[desc_idx]
+        bank = args[-1]
+        valid = args[valid_idx]
+        desc = jnp.where(valid[:, None], bank[rows], 0.0)
+        inner = list(args[:-1])
+        inner[desc_idx] = desc
+        return body_fn(*inner)
+
+    fn.__name__ = getattr(body_fn, "__name__", "body") + "_bank"
+    return fn
+
+
 class PackedInput:
     """One host->device transfer per kernel call.
 
@@ -142,7 +194,8 @@ class PackedInput:
         self.last_batch_placement = None
 
     def _variant(self, args, sharding=None):
-        pattern = tuple(not isinstance(a, jax.Array) for a in args)
+        pattern = tuple(not isinstance(a, (jax.Array, PreStacked))
+                        for a in args)
         specs = []
         for i, (a, h) in enumerate(zip(args, pattern)):
             if not h:
@@ -203,6 +256,8 @@ class PackedInput:
         return layout.pack_np(hosts), devs
 
     def __call__(self, *args):
+        assert not any(isinstance(a, PreStacked) for a in args), \
+            "PreStacked args are call_rows-only"
         pattern, (layout, one_fn, _) = self._variant(args)
         packed, devs = self._split(args, pattern, layout)
         return one_fn(packed, *devs)
@@ -228,8 +283,18 @@ class PackedInput:
             packed.append(p)
             devs_rows.append(d)
         stacked = np.stack(packed)
-        devs = [jnp.stack([dr[i] for dr in devs_rows])
-                for i in range(len(devs_rows[0]))]
+        devs = []
+        for i in range(len(devs_rows[0])):
+            col = [dr[i] for dr in devs_rows]
+            if isinstance(col[0], PreStacked):
+                # one shared pre-stacked array for the whole batch: the
+                # object must be row-identical (the fleet builds one per
+                # tick) and already carries the batch's leading dim
+                assert all(c is col[0] for c in col), \
+                    "PreStacked arg must be the same object in every row"
+                devs.append(col[0].array)
+            else:
+                devs.append(jnp.stack(col))
         if sharding is not None:
             stacked = jax.device_put(stacked, sharding)
             devs = [jax.device_put(d, sharding) for d in devs]
@@ -833,6 +898,16 @@ class TrackingKernels:
 
         self._gather = PackedInput(gather_fn)
 
+        # fleet bank-args variants: the descriptor gather runs in-graph
+        # inside the batched program (BankRows docstring) so a serving
+        # tick never pays per-stream gather dispatches
+        self._dust_bank = PackedInput(_bank_variant(dust_fn, 2, 3))
+        self._motion_bank = PackedInput(_bank_variant(motion_fn, 2, 3))
+        self._reloc_bank = PackedInput(_bank_variant(reloc_fn, 2, 3))
+        self._local_bank = PackedInput(_bank_variant(local_fn, 2, 4))
+        self._local_wide_bank = PackedInput(
+            _bank_variant(local_wide_fn, 2, 4))
+
         hc, wc = cfg.grid_h, cfg.grid_w
         self.feat_layout = Layout([
             ("uv", (K, 2), float), ("score", (K,), float),
@@ -1010,15 +1085,25 @@ class TrackingKernels:
         local_out["kp2mp0"] = flat["kp2mp0"]
         return dust_out, local_out
 
-    def dust_track_batch(self, rows):
+    def dust_track_batch(self, rows, bank: bool = False):
         """Batched dust stage: `rows` is a list of per-stream arg tuples;
-        ONE packed upload + ONE packed readback for the whole fleet."""
-        flat = np.asarray(
-            self._dust.call_rows(rows, sharding=self.batch_sharding))
+        ONE packed upload + ONE packed readback for the whole fleet.  With
+        `bank`, rows carry (rows, stacked-bank) in place of gathered
+        descriptors (BankRows docstring)."""
+        ad = self._dust_bank if bank else self._dust
+        flat = np.asarray(ad.call_rows(rows, sharding=self.batch_sharding))
         return [self.dust_layout.unpack(row) for row in flat]
 
     def motion_track(self, *args):
         return self.track_layout.unpack(np.asarray(self._motion(*args)))
+
+    def motion_track_batch(self, rows, bank: bool = False):
+        """Batched motion-model fallback over per-stream arg tuples (the
+        fleet's coarse_phase2): ONE packed upload + ONE packed readback for
+        every stream whose dust stage failed this tick."""
+        ad = self._motion_bank if bank else self._motion
+        flat = np.asarray(ad.call_rows(rows, sharding=self.batch_sharding))
+        return [self.track_layout.unpack(row) for row in flat]
 
     def ref_track(self, *args):
         return self.track_layout.unpack(np.asarray(self._ref(*args)))
@@ -1026,16 +1111,26 @@ class TrackingKernels:
     def reloc_track(self, *args):
         return self.track_layout.unpack(np.asarray(self._reloc(*args)))
 
+    def reloc_track_batch(self, rows, bank: bool = False):
+        """Batched multi-start rescue (the fleet's fine retry rounds)."""
+        ad = self._reloc_bank if bank else self._reloc
+        flat = np.asarray(ad.call_rows(rows, sharding=self.batch_sharding))
+        return [self.track_layout.unpack(row) for row in flat]
+
     def local_map_track(self, *args):
         return self.local_layout.unpack(np.asarray(self._local(*args)))
 
     def local_map_track_wide(self, *args):
         return self.local_layout.unpack(np.asarray(self._local_wide(*args)))
 
-    def local_map_track_batch(self, rows, wide: bool = False):
+    def local_map_track_batch(self, rows, wide: bool = False,
+                              bank: bool = False):
         """Batched fine stage over per-stream arg tuples: a list of unpacked
         per-stream dicts from ONE upload + ONE readback."""
-        fn = self._local_wide if wide else self._local
+        if bank:
+            fn = self._local_wide_bank if wide else self._local_bank
+        else:
+            fn = self._local_wide if wide else self._local
         flat = np.asarray(fn.call_rows(rows, sharding=self.batch_sharding))
         return [self.local_layout.unpack(row) for row in flat]
 

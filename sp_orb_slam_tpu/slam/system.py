@@ -467,6 +467,7 @@ class System:
             self.tracker = Tracking(self.cfg, self.map, self.kernels,
                                     self.mapper)
             self.tracker.only_tracking = only_tracking
+            self.tracker.fleet_bank_mode = tr.fleet_bank_mode
             self.tracker.rel_poses = tr.rel_poses
             self.tracker.refs = tr.refs
             self.tracker.times = tr.times
@@ -510,9 +511,11 @@ class System:
                                       self.mapper)
             self.mapper.looper = self.looper
         only_tracking = self.tracker.only_tracking
+        fleet_bank = self.tracker.fleet_bank_mode
         self.tracker = Tracking(self.cfg, self.map, self.kernels,
                                 self.mapper)
         self.tracker.only_tracking = only_tracking
+        self.tracker.fleet_bank_mode = fleet_bank
         live = [k for k, kf in self.map.keyframes.items() if not kf.bad]
         if live:
             self.tracker.state = LOST

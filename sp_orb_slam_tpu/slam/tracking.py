@@ -72,6 +72,11 @@ class Tracking:
         self.staged_dust = None
         self.staged_local = None    # (frame, prep, out) from the fine prepass
         self._phase = None          # (ok, was_lost) between the fleet phases
+        self._coarse_ctx = None     # (was_lost, pids) across the batched
+        #                             motion fallback (coarse_phase1/2)
+        self._fine_st = None        # fine retry machine state (fleet drive)
+        self.fleet_bank_mode = False  # set by StreamFleet: preps hand back
+        #                               BankRows instead of gathering
         # trajectory bookkeeping (tracker.cpp:343-356)
         self.rel_poses: List[np.ndarray] = []
         self.refs: List[int] = []
@@ -140,6 +145,61 @@ class Tracking:
             self._phase = None
             self._track_fine(frame, ok, was_lost)
             self._record_trajectory(frame)
+
+    def coarse_phase1(self, frame: FrameData):
+        """Fleet phase 1 with a batchable motion fallback: identical to
+        track_frame_coarse except that when the dust stage fails and the
+        motion model has something to track from, the motion kernel args
+        are RETURNED for the fleet to run as one batched program across
+        every such stream (coarse_phase2 consumes), instead of dispatching
+        a per-stream program from inside the cascade."""
+        with self.map.update_lock:
+            self.map.advance_epoch()
+            if self.state == NO_IMAGES_YET:
+                self.state = NOT_INITIALIZED
+            if self.state == NOT_INITIALIZED:
+                self._initialization(frame)
+                if self.state == OK:
+                    self.velocity = np.eye(4, dtype=np.float32)
+                self._record_trajectory(frame)
+                self._phase = None
+                return None
+            ok = False
+            was_lost = self.state == LOST
+            if self.state == OK:
+                if self.only_tracking and self.vo_mode:
+                    ok = self._relocalize(frame)
+                    if ok:
+                        self.vo_mode = False
+                if not ok:
+                    ok = self._track_dust(frame)
+                if not ok:
+                    self.n_fail_dust += 1
+                    prep = self.prepare_motion(
+                        frame, bank_desc=self.fleet_bank_mode)
+                    if prep is not None:
+                        pids, args = prep
+                        self._coarse_ctx = (was_lost, pids)
+                        return args
+                    ok = self._track_reference_kf(frame)
+            else:
+                ok = self._relocalize(frame)
+            frame.ref_kf = self.ref_kf
+            self._phase = (ok, was_lost)
+            return None
+
+    def coarse_phase2(self, frame: FrameData, out) -> None:
+        """Consume the batched motion-fallback result staged by
+        coarse_phase1 and finish the coarse cascade (reference-KF
+        fallback on failure, as _track_coarse)."""
+        with self.map.update_lock:
+            was_lost, pids = self._coarse_ctx
+            self._coarse_ctx = None
+            ok = self._consume_motion(frame, pids, out)
+            if not ok:
+                ok = self._track_reference_kf(frame)
+            frame.ref_kf = self.ref_kf
+            self._phase = (ok, was_lost)
 
     # --------------------------------------------------------- initialization
 
@@ -503,13 +563,19 @@ class Tracking:
         return pids[:P], n_kfs
 
     def _pad_mp_arrays(self, pids: List[int], cap: int,
-                       bank: str = "desc_track"):
+                       bank: str = "desc_track", bank_desc: bool = False):
         """Point arrays for a tracking kernel: positions/validity as small
         numpy uploads, descriptors as an ON-DEVICE row gather from the
         pool's device bank (they are the one multi-MB per-frame input and
         change only at mapper events — see MapPointPool.device_bank).
         Consecutive frames with the same point set and bank version reuse
-        the gathered device array outright."""
+        the gathered device array outright.
+
+        With `bank_desc` (the fleet's batched stages) no gather is
+        dispatched at all: the descriptor slot carries a BankRows
+        placeholder and the batched kernel gathers in-graph — the r5 fleet
+        profile showed the per-stream gathers were the dominant per-tick
+        dispatch count (~23/tick at 8 streams)."""
         pos = np.zeros((cap, 3), np.float32)
         valid = np.zeros(cap, bool)
         rows = np.zeros(cap, np.int32)
@@ -519,6 +585,11 @@ class Tracking:
             pos[:n] = self.map.pool.pos[idx]
             rows[:n] = idx
             valid[:n] = True
+        if bank_desc:
+            from sp_orb_slam_tpu.slam.kernels import BankRows
+
+            desc = BankRows(rows, valid, self.map.pool.device_bank(bank))
+            return pos, desc, valid
         key = (bank, cap, id(self.map.pool),
                self.map.pool.bank_version(bank), tuple(pids[:n]))
         cached = self._desc_gather_cache.get((bank, cap))
@@ -530,7 +601,7 @@ class Tracking:
             self._desc_gather_cache[(bank, cap)] = (key, desc)
         return pos, desc, valid
 
-    def prepare_dust(self, frame: FrameData):
+    def prepare_dust(self, frame: FrameData, bank_desc: bool = False):
         """Host-side input prep for the dust coarse stage, split out so the
         fleet's serving prepass (slam/fleet.py) can batch the kernel across
         streams.  Returns (pids, Tcw_pred, args) with args matching
@@ -549,7 +620,8 @@ class Tracking:
         if not pids:
             return None
         P = self.cfg.runtime.dust_points_cap
-        pos, desc_track, valid = self._pad_mp_arrays(pids, P)
+        pos, desc_track, valid = self._pad_mp_arrays(
+            pids, P, bank_desc=bank_desc)
         args = (Tcw_pred.astype(np.float32), pos, desc_track, valid,
                 frame.dust_dev, frame.occ_grid_dev, frame.desc_dev,
                 frame.uv, frame.cov2_inv, frame.valid)
@@ -619,10 +691,16 @@ class Tracking:
         frame.set_pose(Tcw_pred)
         return False
 
-    def _track_motion_model(self, frame: FrameData) -> bool:
-        """TrackWithMotionModel (tracker.cpp:480-559)."""
+    def prepare_motion(self, frame: FrameData, bank_desc: bool = False):
+        """Host-side input prep for the motion-model fallback, split out so
+        the fleet's phased drive (slam/fleet.py) can batch the kernel across
+        every stream whose dust stage failed this tick — the fallback is
+        exactly as common as the coarse stage is unlucky, so leaving it
+        per-stream re-serializes the tick the batched dust stage just
+        parallelized.  Returns (pids, args) matching kernels.motion_track,
+        or None when the model has nothing to track from."""
         if self.velocity is None:
-            return False
+            return None
         self._update_last_frame_pose()
         Tcw_pred = self.velocity @ self.last_frame.Tcw
         frame.mp_ids[:] = -1
@@ -633,12 +711,27 @@ class Tracking:
         pids = [p for p in pids
                 if (mp := self.map.get_point(p)) is not None and not mp.bad]
         if not pids:
-            return False
+            return None
         P = self.cfg.runtime.local_points_cap
-        pos, desc_track, valid = self._pad_mp_arrays(pids, P)
-        out = self.k.motion_track(
-            Tcw_pred.astype(np.float32), pos, desc_track, valid,
-            frame.desc_dev, frame.uv, frame.cov2_inv, frame.valid)
+        pos, desc_track, valid = self._pad_mp_arrays(
+            pids, P, bank_desc=bank_desc)
+        args = (Tcw_pred.astype(np.float32), pos, desc_track, valid,
+                frame.desc_dev, frame.uv, frame.cov2_inv, frame.valid)
+        return pids, args
+
+    def _track_motion_model(self, frame: FrameData) -> bool:
+        """TrackWithMotionModel (tracker.cpp:480-559)."""
+        prep = self.prepare_motion(frame)
+        if prep is None:
+            return False
+        pids, args = prep
+        out = self.k.motion_track(*args)
+        return self._consume_motion(frame, pids, out)
+
+    def _consume_motion(self, frame: FrameData, pids, out) -> bool:
+        """Binding/acceptance half of the motion-model stage (the part after
+        the kernel), shared by the per-stream path and the fleet's batched
+        fallback (tracker.cpp:524-559)."""
         kp2mp = out["kp2mp"]
         bound = kp2mp >= 0
         frame.mp_ids[bound] = np.asarray(pids, np.int64)[
@@ -915,7 +1008,7 @@ class Tracking:
                         pids.append(mp.pid)
         return local_kfs, kf_max, pids
 
-    def prepare_local_map(self, frame: FrameData):
+    def prepare_local_map(self, frame: FrameData, bank_desc: bool = False):
         """Host-side prep for the fine stage, split out so the fleet
         prepass can batch the primary kernel call across streams.  Returns
         {pids, n, args, wide}; mutates visibility bookkeeping, so it runs
@@ -952,16 +1045,23 @@ class Tracking:
             skip[:n] = [pid in bound_pids for pid in pids]
         # descriptors: on-device gather from the pool bank (4 MB that
         # changes only at mapper events — MapPointPool.device_bank), cached
-        # across frames while the local-map set and bank are unchanged
-        key = ("desc_track", L, id(pool),
-               pool.bank_version("desc_track"), tuple(pids))
-        cached = self._desc_gather_cache.get(("desc_track", L))
-        if cached is not None and cached[0] == key:
-            desc = cached[1]
+        # across frames while the local-map set and bank are unchanged; in
+        # the fleet's bank-args mode the gather moves in-graph entirely
+        # (BankRows) and no per-stream dispatch happens at all
+        if bank_desc:
+            from sp_orb_slam_tpu.slam.kernels import BankRows
+
+            desc = BankRows(rows, valid, pool.device_bank("desc_track"))
         else:
-            desc = self.k.gather_rows(
-                pool.device_bank("desc_track"), rows, valid)
-            self._desc_gather_cache[("desc_track", L)] = (key, desc)
+            key = ("desc_track", L, id(pool),
+                   pool.bank_version("desc_track"), tuple(pids))
+            cached = self._desc_gather_cache.get(("desc_track", L))
+            if cached is not None and cached[0] == key:
+                desc = cached[1]
+            else:
+                desc = self.k.gather_rows(
+                    pool.device_bank("desc_track"), rows, valid)
+                self._desc_gather_cache[("desc_track", L)] = (key, desc)
 
         kp2mp0 = np.full(frame.K, -1, np.int64)
         for i in np.nonzero(frame.mp_ids >= 0)[0]:
@@ -984,6 +1084,135 @@ class Tracking:
             self._seen_ba_epoch = self.map.ba_epoch
         return {"pids": pids, "n": n, "args": args, "wide": wide}
 
+    # The fine stage's retry cascade as an explicit state machine, so the
+    # fleet can drive every stream's machine in lock-step rounds with ONE
+    # batched kernel per round (slam/fleet.py _fine_retry_rounds) while the
+    # single-stream path (_track_local_map) drives the same machine with
+    # immediate per-request dispatch.  Requests are (kind, args) where
+    # kind "reloc" runs the multi-start relocalization kernel and every
+    # other kind ("wide"/"vel"/"polish") runs local_map_track_wide.
+
+    def _fine_begin(self, frame: FrameData, prep: dict, out: dict) -> dict:
+        st = {"frame": frame, "prep": prep, "out": out, "stage": 0,
+              "req": None}
+        self._fine_advance(st)
+        return st
+
+    def _fine_advance(self, st: dict) -> None:
+        prep, frame = st["prep"], st["frame"]
+        args = prep["args"]
+        th = self.cfg.tracking.map.th_ninlier_high
+        while True:
+            n_in = int(st["out"]["n_inlier"])
+            stage, st["stage"] = st["stage"], st["stage"] + 1
+            if stage == 0:
+                if n_in <= th and not prep["wide"]:
+                    # Starvation retry at the widened window (see
+                    # local_map_track_wide): local-BA depth slides on
+                    # low-parallax points routinely exceed the 4 px window
+                    # early in a map's life, and a starved frame forfeits
+                    # exactly the constraints BA needs to stop sliding.
+                    # Keep whichever result binds more.  (Skipped when the
+                    # primary call was already the wide variant.)
+                    st["req"] = ("wide", args)
+                    return
+            elif stage == 1:
+                if (n_in < th and self.velocity is not None
+                        and self.last_frame is not None
+                        and self.last_frame.Tcw is not None):
+                    # Pose-candidate arbitration (DEVIATION; no reference
+                    # counterpart): the dust coarse aligner can confidently
+                    # snap to a neighboring 1/8-grid lattice cell, and the
+                    # fine stage then locks onto a small self-consistent
+                    # binding subset instead of the map.  Re-run from the
+                    # constant-velocity prediction and keep whichever pose
+                    # binds more.  The retry drops the coarse stage's
+                    # inherited bindings (kp2mp0/skip): the aliased
+                    # associations are what drags pose optimization back.
+                    Tcw_alt = (self.velocity
+                               @ self.last_frame.Tcw).astype(np.float32)
+                    st["req"] = ("vel", (
+                        Tcw_alt, *args[1:5], np.zeros_like(args[5]),
+                        np.full_like(args[6], -1), *args[7:]))
+                    return
+            elif stage == 2:
+                if n_in < th:
+                    # Multi-start rescue: the single LM chain is fragile on
+                    # a locally-bent map (thin valleys; measured: from an
+                    # 11 px-off start one chain kept 24 inliers where a
+                    # vmapped start fan found the 103-inlier optimum on the
+                    # same matches).  Reuse the relocalization kernel —
+                    # brute-force local-map matching + the batched
+                    # multi-start optimizer — then polish with a fresh wide
+                    # search (the chained "polish" request below).
+                    T0s = self._reloc_starts(frame.Tcw)
+                    st["req"] = ("reloc", (
+                        T0s, args[1], args[2], args[4], frame.desc_dev,
+                        frame.uv, frame.cov2_inv, frame.valid))
+                    return
+            else:
+                st["req"] = None
+                return
+
+    def _fine_step(self, st: dict, out_new: dict) -> None:
+        """Feed one retry result back into the machine: 'reloc' results
+        chain into the polishing wide search from the rescued pose; every
+        other kind keeps whichever result binds more and advances."""
+        kind = st["req"][0]
+        if kind == "reloc":
+            args = st["prep"]["args"]
+            st["req"] = ("polish", (
+                np.asarray(out_new["Tcw"], np.float32), *args[1:5],
+                np.zeros_like(args[5]), np.full_like(args[6], -1),
+                *args[7:]))
+            return
+        if int(out_new["n_inlier"]) > int(st["out"]["n_inlier"]):
+            st["out"] = out_new
+        self._fine_advance(st)
+
+    def _dispatch_fine(self, kind: str, rargs) -> dict:
+        from sp_orb_slam_tpu.slam.kernels import BankRows
+
+        # per-stream dispatch can inherit fleet-mode BankRows descriptor
+        # slots (e.g. a machine resumed outside the fleet drive): gather
+        rargs = tuple(self.k.gather_rows(a.bank, a.rows, a.valid)
+                      if isinstance(a, BankRows) else a for a in rargs)
+        if kind == "reloc":
+            return self.k.reloc_track(*rargs)
+        return self.k.local_map_track_wide(*rargs)
+
+    def fine_begin_fleet(self, frame: FrameData):
+        """Fleet phase 2b: start this stream's fine retry machine from the
+        batched primary result staged by the fine prepass.  Returns the
+        first retry request (for the fleet to batch across streams) or None
+        when no retry is needed.  The machine's final best result is
+        re-staged so track_frame_fine consumes it without re-running."""
+        with self.map.update_lock:
+            if self._phase is None or not self._phase[0]:
+                return None  # init frame or coarse failed: no fine stage
+            staged = self.staged_local
+            if staged is None or staged[0] is not frame:
+                return None  # prepass missed this stream: per-stream path
+            self._fine_st = self._fine_begin(frame, staged[1], staged[2])
+            return self._finish_or_request(frame)
+
+    def fine_step_fleet(self, frame: FrameData, out: dict):
+        """Feed one batched retry result back; returns the next request or
+        None when the machine finished (result re-staged)."""
+        with self.map.update_lock:
+            self._fine_step(self._fine_st, out)
+            return self._finish_or_request(frame)
+
+    def _finish_or_request(self, frame: FrameData):
+        st = self._fine_st
+        if st["req"] is not None:
+            return st["req"]
+        self._fine_st = None
+        prep = dict(st["prep"])
+        prep["retries_done"] = True
+        self.staged_local = (frame, prep, st["out"])
+        return None
+
     def _track_local_map(self, frame: FrameData) -> bool:
         """TrackLocalMap (tracker.cpp:561-615) + SearchLocalPoints (:768)."""
         staged = self.staged_local
@@ -996,61 +1225,12 @@ class Tracking:
                 out = self.k.local_map_track_wide(*prep["args"])
             else:
                 out = self.k.local_map_track(*prep["args"])
+        if not prep.get("retries_done"):
+            st = self._fine_begin(frame, prep, out)
+            while st["req"] is not None:
+                self._fine_step(st, self._dispatch_fine(*st["req"]))
+            out = st["out"]
         pids, n, args = prep["pids"], prep["n"], prep["args"]
-        if (int(out["n_inlier"]) <= self.cfg.tracking.map.th_ninlier_high
-                and not prep["wide"]):
-            # Starvation retry at the widened window (see
-            # local_map_track_wide): local-BA depth slides on low-parallax
-            # points routinely exceed the 4 px window early in a map's
-            # life, and a starved frame forfeits exactly the constraints
-            # BA needs to stop sliding.  Keep whichever result binds more.
-            # (Skipped when the primary call was already the wide variant —
-            # identical args would re-dispatch the same kernel for the
-            # same result.)
-            wide = self.k.local_map_track_wide(*args)
-            if int(wide["n_inlier"]) > int(out["n_inlier"]):
-                out = wide
-        if (int(out["n_inlier"]) < self.cfg.tracking.map.th_ninlier_high
-                and self.velocity is not None
-                and self.last_frame is not None
-                and self.last_frame.Tcw is not None):
-            # Pose-candidate arbitration (DEVIATION; no reference
-            # counterpart): the dust coarse aligner can confidently snap to
-            # a neighboring 1/8-grid lattice cell — measured as a
-            # translation orthogonal to ground truth at ~5x magnitude with
-            # rotation still exact — and the fine stage then locks onto a
-            # small self-consistent binding subset instead of the map.
-            # When the fine result looks starved, re-run it from the
-            # constant-velocity prediction and keep whichever pose binds
-            # more of the map.  Crucially the retry drops the coarse
-            # stage's inherited bindings (kp2mp0/skip): the aliased
-            # associations are exactly what drags pose optimization back
-            # to the bad pose.
-            Tcw_alt = (self.velocity @ self.last_frame.Tcw).astype(np.float32)
-            alt = self.k.local_map_track_wide(
-                Tcw_alt, *args[1:5],
-                np.zeros_like(args[5]), np.full_like(args[6], -1),
-                *args[7:])
-            if int(alt["n_inlier"]) > int(out["n_inlier"]):
-                out = alt
-        if int(out["n_inlier"]) < self.cfg.tracking.map.th_ninlier_high:
-            # Multi-start rescue: the single LM chain is fragile on a
-            # locally-bent map (structured point-position error makes thin
-            # valleys; measured: from an 11 px-off start one chain kept 24
-            # inliers where a vmapped start fan found the 103-inlier
-            # optimum on the same matches).  Reuse the relocalization
-            # kernel — brute-force local-map matching + the batched
-            # multi-start optimizer — then polish with a fresh wide search.
-            T0s = self._reloc_starts(frame.Tcw)
-            rl = self.k.reloc_track(
-                T0s, args[1], args[2], args[4], frame.desc_dev, frame.uv,
-                frame.cov2_inv, frame.valid)
-            ms = self.k.local_map_track_wide(
-                np.asarray(rl["Tcw"], np.float32), *args[1:5],
-                np.zeros_like(args[5]), np.full_like(args[6], -1),
-                *args[7:])
-            if int(ms["n_inlier"]) > int(out["n_inlier"]):
-                out = ms
         # visible bookkeeping (IncreaseVisible on frustum hits, :798-804).
         # Already-bound points (args[5] = the prep-time skip mask) were
         # counted by prepare_local_map; the retry paths zero the skip mask,

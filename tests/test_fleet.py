@@ -250,16 +250,25 @@ def test_fleet_batched_stages_sharded_over_mesh():
         assert s.spec and s.spec[0] == "stream", (what, s.spec)
         assert len(s.device_set) == 8, (what, s)
 
-    for name, adapter in (("dust", fleet_s.kernels._dust),
-                          ("local", fleet_s.kernels._local)):
-        pl = adapter.last_batch_placement
-        assert pl is not None and pl["sharded"], (name, pl)
+    # bank-args mode: the fleet's batched stages run the *_bank adapters
+    # (descriptor gathers in-graph)
+    local_pls = [a.last_batch_placement
+                 for a in (fleet_s.kernels._local_bank,
+                           fleet_s.kernels._local_wide_bank)]
+    local_pls = [p for p in local_pls if p is not None]
+    assert local_pls, "local stage never ran batched"
+    dust_pl = fleet_s.kernels._dust_bank.last_batch_placement
+    assert dust_pl is not None, "dust stage never ran batched"
+    for name, pl in [("dust", dust_pl)] + [("local", p)
+                                           for p in local_pls]:
+        assert pl["sharded"], (name, pl)
         for i, sh in enumerate(pl["in"]):
             check(sh, f"{name} in{i}")
         check(pl["out"], f"{name} out")
 
     fleet_u, poses_u = drive(None)
-    assert fleet_u.kernels._dust.last_batch_placement["sharded"] is False
+    assert (fleet_u.kernels._dust_bank
+            .last_batch_placement["sharded"] is False)
     for i in range(n):
         assert len(poses_s[i]) == len(poses_u[i]), i
         for a, b in zip(poses_s[i], poses_u[i]):

@@ -75,6 +75,11 @@ def test_coarse_stage_health():
     on the TPU backend."""
     _, rep, _ = _run(fused=True)
     # n_fail_dust counts every frame where the coarse stage rejected; the
-    # rail has ~45 OK frames — allow a handful of genuinely hard frames
-    assert rep["n_fail_dust"] <= 3, rep
+    # rail has ~45 OK frames — allow a handful of genuinely hard frames.
+    # (5, was 3: the r5 create_kf_min_gap=5 default thins the early KF set,
+    # and a few frames sit one match under the n_match=20 gate — the
+    # fail_dust_stages breakdown must stay marginal-match-only, never the
+    # n_coarse collapse the r3/r4 TPU bug produced.)
+    assert rep["n_fail_dust"] <= 5, rep
+    assert rep["fail_dust_stages"]["n_coarse"] == 0, rep
     assert rep["coarse_inliers"] > 50, rep

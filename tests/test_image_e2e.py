@@ -121,7 +121,9 @@ def test_image_pipeline_end_to_end():
     rep = sys_.report()
     assert sys_.tracker.state == tr.OK, rep
     assert rep["n_lost"] == 0, rep
-    assert rep["n_keyframes"] >= 4, rep
+    # >= 3 (was 4): the r5 create_kf_min_gap=5 pacing default legitimately
+    # spaces KFs wider on this 20-frame run
+    assert rep["n_keyframes"] >= 3, rep
     assert rep["n_points"] > 80, rep
     assert rep["n_frames"] >= n // 2, rep  # tracked at least half post-init
 

@@ -141,8 +141,11 @@ def test_kf_pacing_gates_idle_path():
     bare-idle creation path (config.py; NOTES.md round 2 item 4)."""
     world, kf0, frame = _kf_policy_world()
 
-    # defaults (gates off): idle path creates
-    assert _policy_tracker(world, kf0)._need_new_keyframe(frame)
+    # gates explicitly off: idle path creates.  (The production default is
+    # create_kf_min_gap=5 — the r5 measured winner, config.py — so the
+    # gates-off baseline must turn it off explicitly.)
+    assert _policy_tracker(world, kf0,
+                           {"create_kf_min_gap": 0})._need_new_keyframe(frame)
 
     # min_gap: frame 2 is closer than 5 frames to KF at frame 0 -> blocked
     tr = _policy_tracker(world, kf0, {"create_kf_min_gap": 5})
@@ -154,7 +157,8 @@ def test_kf_pacing_gates_idle_path():
     # baseline ratio: frame at the ref KF's optical centre -> ratio 0 ->
     # blocked; translated by 0.5 against median depth 5 -> 0.1 -> passes
     tr = _policy_tracker(world, kf0,
-                         {"create_kf_min_baseline_ratio": 0.05})
+                         {"create_kf_min_baseline_ratio": 0.05,
+                          "create_kf_min_gap": 0})  # isolate the ratio gate
     assert not tr._need_new_keyframe(frame)
     moved = _dummy_frame(2)
     moved.mp_ids[:] = frame.mp_ids
