@@ -162,6 +162,8 @@ def main():
             "ok_streams": n_ok,
             "batched_dust_frames": fleet.n_batched_dust,
             "batched_local_frames": fleet.n_batched_local,
+            "batched_motion_frames": fleet.n_batched_motion,
+            "batched_retry_frames": fleet.n_batched_retry,
         }), flush=True)
 
 
